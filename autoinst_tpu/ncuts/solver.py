@@ -1,0 +1,169 @@
+"""Recursive normalized cuts as a host-driven worklist of batched eigensolves.
+
+The reference recurses in Python, one ARPACK shift-invert solve per node
+(reference: pipeline/ncuts/normalized_cut.py:37-63). That is inherently
+serial. Here recursion depth becomes *iterations over a batch*: every
+pending subgraph is gathered out of the chunk affinity matrix on device,
+padded to a size bucket, and all subgraphs in a bucket get their Fiedler
+vector and threshold sweep in one vmapped call. The host only makes the
+split/finalize decision per node -- a few bytes per subgraph cross the
+PCIe boundary, never the matrices.
+
+Semantics replicated from the reference (with file:line):
+  * W' = W + I before the Laplacian                 (normalized_cut.py:38)
+  * entry guard: size > 2 and size/orig > split_lim (normalized_cut.py:39-40)
+  * 10 evenly spaced thresholds, endpoint excluded  (normalized_cut.py:27)
+  * cut cost uses W (no self-loops), assoc uses the
+    degrees of W'                                    (normalized_cut.py:4-11,54)
+  * all-equal Fiedler vector => no split            (normalized_cut.py:21-23)
+  * split when min cost < T, recurse on both sides  (normalized_cut.py:56-59)
+  * note: the reference's inner recursion silently resets split_lim to its
+    default 0.01 (normalized_cut.py:57-58); we apply `split_lim` uniformly,
+    which is identical for the shipped configs (SPLIT_LIM = 0.01).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autoinst_tpu.ops import eigen
+
+_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+# cap on simultaneously-resident gathered submatrix elements (f32)
+_MAX_BATCH_ELEMS = 1 << 26
+
+
+@partial(jax.jit, static_argnames=("num_cuts",))
+def ncut_threshold_sweep(W: jax.Array, valid: jax.Array, ev: jax.Array,
+                         num_cuts: int = 10):
+    """Best bipartition of the Fiedler vector over `num_cuts` thresholds.
+
+    Vectorizes the reference's per-threshold Python loop
+    (normalized_cut.py:13-34): all masks are formed at once and their cut
+    costs come from one [num_cuts, N] x [N, N] GEMM. Returns
+    (mask [N] bool, mcut scalar; mcut=+inf when no admissible cut exists).
+    """
+    v = valid.astype(W.dtype)
+    Wv = W * v[:, None] * v[None, :]
+    d = jnp.sum(Wv, axis=1) + v  # degrees of W + I   (normalized_cut.py:42)
+
+    big = jnp.asarray(jnp.inf, W.dtype)
+    evv = jnp.where(valid, ev, big)
+    mn = jnp.min(evv)
+    evv = jnp.where(valid, ev, -big)
+    mx = jnp.max(evv)
+
+    # numpy.allclose(mn, mx) semantics (normalized_cut.py:22)
+    degenerate = jnp.abs(mn - mx) <= (1e-8 + 1e-5 * jnp.abs(mx))
+
+    ts = mn + (mx - mn) * jnp.arange(num_cuts, dtype=W.dtype) / num_cuts
+    masks = (ev[None, :] > ts[:, None]) & valid[None, :]  # [C, N]
+    mf = masks.astype(W.dtype)
+    cof = v[None, :] - mf  # complement within valid dims
+    # cut cost = m^T W (1 - m): one GEMM for all thresholds
+    MW = mf @ Wv  # [C, N]
+    cut = jnp.sum(MW * cof, axis=1)
+    assoc_a = mf @ d
+    assoc_b = cof @ d
+    cost = cut / assoc_a + cut / assoc_b  # 0/0 -> nan, like numpy
+    cost = jnp.where(jnp.isnan(cost), big, cost)
+    cost = jnp.where(degenerate, big, cost)
+
+    best = jnp.argmin(cost)
+    return masks[best], cost[best]
+
+
+def _bucket_of(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"subgraph of {n} points exceeds the largest bucket")
+
+
+@partial(jax.jit, static_argnames=("method", "iters"))
+def _solve_batch(W: jax.Array, idx: jax.Array, valid: jax.Array,
+                 method: str, iters: int):
+    """Gather submatrices W[idx][:, idx] and solve their best cuts, batched."""
+
+    def one(idx_i, valid_i):
+        sub = jnp.take(jnp.take(W, idx_i, axis=0), idx_i, axis=1)
+        sub = sub * valid_i[:, None] * valid_i[None, :]
+        if method == "eigh":
+            ev, _ = eigen.fiedler_eigh(sub, valid_i)
+        else:
+            ev, _ = eigen.fiedler_lobpcg(sub, valid_i, iters=iters)
+        return ncut_threshold_sweep(sub, valid_i, ev)
+
+    return jax.vmap(one)(idx, valid)
+
+
+def recursive_ncut(W: jax.Array, num_valid: int, T: float = 0.03,
+                   split_lim: float = 0.01, method: str = "auto",
+                   lobpcg_iters: int = 150) -> np.ndarray:
+    """Cluster ids for the chunk graph W (padded [N, N], first `num_valid`
+    rows real). Returns int32 labels of shape [num_valid].
+
+    method: "eigh" (exact), "lobpcg", or "auto" (eigh for small buckets where
+    dense decomposition is cheap, LOBPCG GEMM iteration for large ones).
+    """
+    n_orig = num_valid
+    labels = np.zeros((n_orig,), np.int32)
+    next_label = 0
+
+    def admissible(size: int) -> bool:
+        # entry guard, normalized_cut.py:39-40 (note W' adds I, size check
+        # is on the W' shape which equals the subgraph size)
+        return size > 2 and size / (n_orig + 1e-8) > split_lim
+
+    root = np.arange(n_orig, dtype=np.int32)
+    worklist: list[np.ndarray] = []
+    finalized: list[np.ndarray] = []
+    if admissible(n_orig):
+        worklist.append(root)
+    else:
+        finalized.append(root)
+
+    while worklist:
+        # group by bucket size
+        by_bucket: dict[int, list[np.ndarray]] = {}
+        for item in worklist:
+            by_bucket.setdefault(_bucket_of(len(item)), []).append(item)
+        worklist = []
+
+        for bucket, items in sorted(by_bucket.items()):
+            if method == "auto":
+                m = "eigh" if bucket <= 512 else "lobpcg"
+            else:
+                m = method
+            max_batch = max(1, _MAX_BATCH_ELEMS // (bucket * bucket))
+            for lo in range(0, len(items), max_batch):
+                batch = items[lo:lo + max_batch]
+                bsz = len(batch)
+                idx = np.zeros((bsz, bucket), np.int32)
+                val = np.zeros((bsz, bucket), bool)
+                for i, it in enumerate(batch):
+                    idx[i, :len(it)] = it
+                    val[i, :len(it)] = True
+                masks, mcuts = _solve_batch(W, jnp.asarray(idx),
+                                            jnp.asarray(val), m, lobpcg_iters)
+                masks = np.asarray(masks)
+                mcuts = np.asarray(mcuts)
+                for i, it in enumerate(batch):
+                    if mcuts[i] < T:
+                        m_i = masks[i, :len(it)]
+                        for side in (it[m_i], it[~m_i]):
+                            if admissible(len(side)):
+                                worklist.append(side)
+                            else:
+                                finalized.append(side)
+                    else:
+                        finalized.append(it)
+
+    for cluster in finalized:
+        labels[cluster] = next_label
+        next_label += 1
+    return labels

@@ -1,0 +1,193 @@
+"""Tests for the NCut stack: affinity, eigensolvers, sweep, recursion."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from autoinst_tpu.ops import affinity, eigen
+from autoinst_tpu.ncuts import solver
+
+from oracles import (
+    affinity_oracle,
+    sweep_oracle,
+    fiedler_oracle,
+    recursive_ncut_oracle,
+    partition_sets,
+    clustered_points,
+)
+
+
+def geometric_graph(n=60, seed=0, scale=2.0):
+    """Connected-ish random geometric affinity for eigen tests."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, scale, size=(n, 3)).astype(np.float32)
+    return affinity_oracle(pts, alpha=1.0, proximity=1.0).astype(np.float32), pts
+
+
+class TestAffinity:
+    def test_xla_matches_oracle_spatial(self):
+        pts, _ = clustered_points(seed=1)
+        a = affinity.affinity_xla(jnp.asarray(pts), jnp.ones(len(pts), bool),
+                                  alpha=1.0, proximity=1.0)
+        expect = affinity_oracle(pts, alpha=1.0, proximity=1.0)
+        np.testing.assert_allclose(np.asarray(a), expect, atol=5e-3)
+
+    def test_xla_matches_oracle_tarl(self):
+        pts, gt = clustered_points(seed=2)
+        rng = np.random.default_rng(3)
+        tarl = rng.normal(size=(len(pts), 96)).astype(np.float32) * 0.1
+        tarl[gt == 1] += 1.0
+        tarl[:5] = 0.0  # no-TARL rows
+        a = affinity.affinity_xla(jnp.asarray(pts), jnp.ones(len(pts), bool),
+                                  tarl=jnp.asarray(tarl), alpha=1.0, theta=0.5,
+                                  proximity=1.0)
+        expect = affinity_oracle(pts, alpha=1.0, proximity=1.0,
+                                 tarl=tarl, theta=0.5)
+        np.testing.assert_allclose(np.asarray(a), expect, atol=5e-3)
+
+    def test_pallas_interpret_matches_xla(self):
+        rng = np.random.default_rng(4)
+        n = 512
+        pts = rng.uniform(0, 6, size=(n, 3)).astype(np.float32)
+        tarl = rng.normal(size=(n, 96)).astype(np.float32) * 0.2
+        tarl[:17] = 0.0
+        valid = np.ones(n, bool)
+        valid[-30:] = False
+        ax = affinity.affinity_xla(jnp.asarray(pts), jnp.asarray(valid),
+                                   tarl=jnp.asarray(tarl), alpha=1.0,
+                                   theta=0.5, proximity=1.0)
+        ap = affinity.affinity_pallas(jnp.asarray(pts), jnp.asarray(valid),
+                                      tarl=jnp.asarray(tarl), alpha=1.0,
+                                      theta=0.5, proximity=1.0, tile=256,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(ap), np.asarray(ax), atol=5e-3)
+
+    def test_diagonal_is_one(self):
+        pts, _ = clustered_points(seed=5)
+        a = affinity.affinity_xla(jnp.asarray(pts), jnp.ones(len(pts), bool))
+        np.testing.assert_allclose(np.diag(np.asarray(a)), 1.0, atol=1e-5)
+
+    def test_sam_label_distance(self):
+        # 4 points, 2 views; reference semantics checked by hand
+        ids = np.array([[0, 1], [0, 1], [1, -1], [-1, -1]], np.int32)
+        mask = np.ones((4, 4), np.float32)
+        d = affinity.sam_label_distance(jnp.asarray(ids), jnp.asarray(mask), 4)
+        d = np.asarray(d)
+        assert d[0, 1] == 0.0          # agree in both views
+        assert d[0, 2] == 1.0          # only view 0 co-visible, disagree
+        assert d[0, 3] == 0.0          # never co-visible
+        np.testing.assert_allclose(d, d.T, atol=1e-6)
+
+
+class TestEigen:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_eigh_matches_scipy(self, seed):
+        w, _ = geometric_graph(seed=seed)
+        ev_o, lam_o = fiedler_oracle(w.astype(np.float64))
+        ev, lam = eigen.fiedler_eigh(jnp.asarray(w), jnp.ones(len(w), bool))
+        ev = np.asarray(ev)
+        assert abs(float(lam) - lam_o) < 1e-3
+        corr = abs(np.dot(ev, ev_o) / (np.linalg.norm(ev) * np.linalg.norm(ev_o)))
+        assert corr > 0.999
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_lobpcg_matches_eigh(self, seed):
+        w, _ = geometric_graph(n=120, seed=seed)
+        valid = np.ones(len(w), bool)
+        ev_e, lam_e = eigen.fiedler_eigh(jnp.asarray(w), jnp.asarray(valid))
+        ev_l, lam_l = eigen.fiedler_lobpcg(jnp.asarray(w), jnp.asarray(valid),
+                                           iters=150)
+        assert abs(float(lam_l) - float(lam_e)) < 1e-3
+        ev_e, ev_l = np.asarray(ev_e), np.asarray(ev_l)
+        corr = abs(np.dot(ev_e, ev_l) / (np.linalg.norm(ev_e) * np.linalg.norm(ev_l)))
+        assert corr > 0.99
+
+    def test_padding_is_inert(self):
+        w, _ = geometric_graph(n=60, seed=5)
+        n, pad = len(w), 100
+        wp = np.zeros((pad, pad), np.float32)
+        wp[:n, :n] = w
+        valid = np.zeros(pad, bool)
+        valid[:n] = True
+        ev_p, lam_p = eigen.fiedler_eigh(jnp.asarray(wp), jnp.asarray(valid))
+        ev, lam = eigen.fiedler_eigh(jnp.asarray(w), jnp.ones(n, bool))
+        assert abs(float(lam_p) - float(lam)) < 1e-4
+        assert np.allclose(np.asarray(ev_p)[n:], 0.0)
+        e1, e2 = np.asarray(ev), np.asarray(ev_p)[:n]
+        corr = abs(np.dot(e1, e2) / (np.linalg.norm(e1) * np.linalg.norm(e2)))
+        assert corr > 0.999
+
+    def test_disconnected_graph_nullspace(self):
+        # two components: lam2 must be ~0 and ev must separate them
+        pts, gt = clustered_points(seed=6, centers=((0, 0, 0), (5, 0, 0)),
+                                   n_per=30)
+        w = affinity_oracle(pts).astype(np.float32)
+        ev, lam = eigen.fiedler_eigh(jnp.asarray(w), jnp.ones(len(w), bool))
+        assert float(lam) < 1e-4
+        ev = np.asarray(ev)
+        side = ev > np.median(ev)
+        assert (side == (gt == gt[side.argmax()])).all() or \
+               (side == ~(gt == gt[side.argmax()])).all() or \
+               len(np.unique(side[gt == 0])) == 1
+
+
+class TestSweep:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_oracle(self, seed):
+        w, _ = geometric_graph(n=80, seed=seed)
+        ev_o, _ = fiedler_oracle(w.astype(np.float64))
+        mask_o, cost_o = sweep_oracle(w.astype(np.float64), ev_o)
+        mask, cost = solver.ncut_threshold_sweep(
+            jnp.asarray(w), jnp.ones(len(w), bool), jnp.asarray(ev_o, jnp.float32))
+        np.testing.assert_array_equal(np.asarray(mask), mask_o)
+        assert abs(float(cost) - cost_o) < 1e-3
+
+    def test_degenerate_ev_no_cut(self):
+        w = np.ones((8, 8), np.float32)
+        ev = np.full(8, 0.25, np.float32)
+        mask, cost = solver.ncut_threshold_sweep(
+            jnp.asarray(w), jnp.ones(8, bool), jnp.asarray(ev))
+        assert not np.asarray(mask).any()
+        assert np.isinf(float(cost))
+
+
+class TestRecursiveNCut:
+    def _pad(self, w, bucket=128):
+        n = len(w)
+        wp = np.zeros((bucket, bucket), np.float32)
+        wp[:n, :n] = w
+        return jnp.asarray(wp), n
+
+    @pytest.mark.parametrize("method", ["eigh", "lobpcg"])
+    def test_recovers_separated_clusters(self, method):
+        pts, gt = clustered_points(seed=7)
+        w = affinity_oracle(pts).astype(np.float32)
+        wp, n = self._pad(w, 256)
+        labels = solver.recursive_ncut(wp, n, T=0.075, method=method)
+        assert partition_sets(labels) == partition_sets(gt)
+
+    def test_matches_oracle_partition(self):
+        # a connected graph with a weak bridge: exercises real cut decisions
+        rng = np.random.default_rng(11)
+        a = rng.normal(scale=0.2, size=(25, 3)) + [0, 0, 0]
+        b = rng.normal(scale=0.2, size=(25, 3)) + [1.6, 0, 0]
+        bridge = np.array([[0.8, 0, 0]])
+        pts = np.concatenate([a, bridge, b]).astype(np.float32)
+        w = affinity_oracle(pts).astype(np.float64)
+        groups = recursive_ncut_oracle(w, len(w), np.arange(len(w)), T=0.075)
+        wp, n = self._pad(w.astype(np.float32), 64)
+        labels = solver.recursive_ncut(wp, n, T=0.075, method="eigh")
+        assert partition_sets(labels) == partition_sets(groups)
+
+    def test_no_split_when_threshold_tiny(self):
+        pts, _ = clustered_points(seed=8, centers=((0, 0, 0),), n_per=50)
+        w = affinity_oracle(pts).astype(np.float32)
+        wp, n = self._pad(w, 64)
+        labels = solver.recursive_ncut(wp, n, T=1e-9)
+        assert len(np.unique(labels)) == 1
+
+    def test_small_graph_single_cluster(self):
+        w = np.ones((2, 2), np.float32)
+        wp, n = self._pad(w, 64)
+        labels = solver.recursive_ncut(wp, n, T=0.5)
+        assert len(np.unique(labels)) == 1
