@@ -17,11 +17,14 @@ OBJECT_SEM = 10  # car
 MOVING_SEM = 252  # moving-car (must be dropped by the MO filter)
 
 
+SENSOR_H = 1.723  # sensor height above ground (KITTI velodyne mount)
+
+
 def make_scene_objects(rng, n_objects=4, span=30.0):
     objs = []
     for i in range(n_objects):
         center = np.array([6.0 + i * span / n_objects,
-                           rng.uniform(-7, 7), 0.9])
+                           rng.uniform(-7, 7), -SENSOR_H + 0.9])
         size = rng.uniform(1.2, 2.4, size=3)
         objs.append((center, size))
     return objs
@@ -70,7 +73,7 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
         rad = rng.uniform(3.5, 20.0, ground_points)
         gx = t[0] + rad * np.cos(ang)
         gy = rad * np.sin(ang)
-        gz = rng.normal(scale=0.02, size=ground_points)
+        gz = -SENSOR_H + rng.normal(scale=0.02, size=ground_points)
         ground = np.stack([gx, gy, gz], axis=1)
         g_sem = np.full(ground_points, GROUND_SEM, np.uint32)
         g_inst = np.zeros(ground_points, np.uint32)
@@ -85,7 +88,7 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
             insts.append(np.full(len(p), oid + 1, np.uint32))
         if with_moving:
             # a moving car that must vanish after the MO filter
-            p = _box_points(rng, np.array([t[0] + 8.0, 3.0, 0.8]),
+            p = _box_points(rng, np.array([t[0] + 8.0, 3.0, -SENSOR_H + 0.8]),
                             np.array([2.0, 1.5, 1.2]), 150)
             pts_w.append(p)
             sems.append(np.full(len(p), MOVING_SEM, np.uint32))
