@@ -1,0 +1,184 @@
+"""Sparse MinkUNet encoder-decoder in Flax (MaskPLS backbone).
+
+Architecture parity with the reference MinkEncoderDecoder
+(self-training/mask_pls/models/mink.py:9-199): stem + 4 stride-2 stages +
+4 transposed-conv up stages with skip concats, channels
+[32,32,64,128,256,256,128,96,96], per-level kNN-up interpolation to points
+and per-level BatchNorm, semantic head on the finest level.
+
+Sparse convs execute as gather+GEMM over the host-built VoxelPlan
+(sparse.py); batch samples share static padded sizes and are vmapped.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from autoinst_tpu.models.maskpls import sparse
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows of [B, V, C] (ME MinkowskiBatchNorm / torch
+    BatchNorm1d semantics: momentum 0.1, eps 1e-5, biased batch variance)."""
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, valid, train: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if train:
+            w = valid.astype(x.dtype)[..., None]
+            n = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(x * w, axis=(0, 1)) / n
+            var = jnp.sum(w * (x - mean) ** 2, axis=(0, 1)) / n
+            # synchronous BN across data-parallel shards (the reference
+            # prepares MinkowskiSyncBatchNorm, mask_model.py:20); psum of
+            # stats over the "data" mesh axis when one is bound
+            try:
+                mean = jax.lax.pmean(mean, axis_name="data")
+                var = jax.lax.pmean(var, axis_name="data")
+            except NameError:
+                pass  # not under a mesh axis named "data"
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y * valid.astype(x.dtype)[..., None]
+
+
+class SparseConv(nn.Module):
+    """Kernel-3 stride-1 sparse conv over the 27-neighbor map."""
+    cout: int
+
+    @nn.compact
+    def __call__(self, feats, nbr):
+        k, cin = nbr.shape[-1], feats.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k * cin, self.cout))
+        w = w.reshape(k, cin, self.cout)
+        return jax.vmap(sparse.gather_conv, in_axes=(0, 0, None))(feats, nbr, w)
+
+
+class DownConv(nn.Module):
+    """Kernel-2 stride-2 sparse conv (8-children map)."""
+    cout: int
+
+    @nn.compact
+    def __call__(self, feats, child):
+        cin = feats.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (8 * cin, self.cout)).reshape(8, cin, self.cout)
+        return jax.vmap(sparse.down_conv, in_axes=(0, 0, None))(feats, child, w)
+
+
+class UpConv(nn.Module):
+    """Kernel-2 stride-2 transposed sparse conv (parent/offset map)."""
+    cout: int
+
+    @nn.compact
+    def __call__(self, feats_coarse, parent, parent_off):
+        cin = feats_coarse.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (8 * cin, self.cout)).reshape(8, cin, self.cout)
+        return jax.vmap(sparse.up_conv, in_axes=(0, 0, 0, None))(
+            feats_coarse, parent, parent_off, w)
+
+
+class ResidualBlock(nn.Module):
+    """conv3-BN-ReLU-conv3-BN + (1x1 conv-BN skip when channels change),
+    final ReLU (reference mink.py:234-263)."""
+    cout: int
+
+    @nn.compact
+    def __call__(self, x, nbr, valid, train: bool):
+        cin = x.shape[-1]
+        h = SparseConv(self.cout)(x, nbr)
+        h = MaskedBatchNorm()(h, valid, train)
+        h = nn.relu(h)
+        h = SparseConv(self.cout)(h, nbr)
+        h = MaskedBatchNorm()(h, valid, train)
+        if cin != self.cout:
+            skip = nn.Dense(self.cout, use_bias=False)(x)
+            skip = MaskedBatchNorm()(skip, valid, train)
+        else:
+            skip = x
+        return nn.relu(h + skip) * valid.astype(x.dtype)[..., None]
+
+
+class MinkUNet(nn.Module):
+    channels: Sequence[int] = (32, 32, 64, 128, 256, 256, 128, 96, 96)
+    n_classes: int = 1  # class-agnostic refiner (reference mink.py:18)
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False):
+        """batch: device arrays from plan_to_device():
+          vox_feats [B,V0,Cin], per-level nbr3/child/parent/parent_off/
+          vox_valid/vox_coords (real meters), pt_coords [B,N,3],
+          pt_valid [B,N].
+        Returns (point feats per level [B,N,C], coords, pad_masks, logits).
+        """
+        cs = self.channels
+        L = batch["levels"]  # list of dicts
+
+        def res2(x, lvl, c1, c2):
+            x = ResidualBlock(c1)(x, lvl["nbr3"], lvl["valid"], train)
+            return ResidualBlock(c2)(x, lvl["nbr3"], lvl["valid"], train)
+
+        def down(x, lvl_from, lvl_to, cout):
+            h = DownConv(cout)(x, lvl_from["child"])
+            h = MaskedBatchNorm()(h, lvl_to["valid"], train)
+            return nn.leaky_relu(h, 0.01)
+
+        def up(x_coarse, fine_lvl, cout):
+            # fine_lvl["parent"/"parent_off"] map fine voxels -> coarse parent
+            h = UpConv(cout)(x_coarse, fine_lvl["parent"],
+                             fine_lvl["parent_off"])
+            h = MaskedBatchNorm()(h, fine_lvl["valid"], train)
+            return nn.leaky_relu(h, 0.01)
+
+        # stem (level 0)
+        x = SparseConv(cs[0])(batch["vox_feats"], L[0]["nbr3"])
+        x = nn.relu(MaskedBatchNorm()(x, L[0]["valid"], train))
+        x = SparseConv(cs[0])(x, L[0]["nbr3"])
+        x0 = nn.relu(MaskedBatchNorm()(x, L[0]["valid"], train))
+
+        x1 = res2(down(x0, L[0], L[1], cs[0]), L[1], cs[1], cs[1])
+        x2 = res2(down(x1, L[1], L[2], cs[1]), L[2], cs[2], cs[2])
+        x3 = res2(down(x2, L[2], L[3], cs[2]), L[3], cs[3], cs[3])
+        x4 = res2(down(x3, L[3], L[4], cs[3]), L[4], cs[4], cs[4])
+
+        y1 = up(x4, L[3], cs[5])            # to level 3
+        y1 = res2(jnp.concatenate([y1, x3], -1), L[3], cs[5], cs[5])
+        y2 = up(y1, L[2], cs[6])            # to level 2
+        y2 = res2(jnp.concatenate([y2, x2], -1), L[2], cs[6], cs[6])
+        y3 = up(y2, L[1], cs[7])            # to level 1
+        y3 = res2(jnp.concatenate([y3, x1], -1), L[1], cs[7], cs[7])
+        y4 = up(y3, L[0], cs[8])            # to level 0
+        y4 = res2(jnp.concatenate([y4, x0], -1), L[0], cs[8], cs[8])
+
+        # kNN-up each level's voxel features onto the points + BatchNorm
+        out = []
+        for lvl_id, feats in ((3, y1), (2, y2), (1, y3), (0, y4)):
+            lvl = L[lvl_id]
+            pf = jax.vmap(sparse.knn_up, in_axes=(0, 0, 0, 0))(
+                lvl["coords"], lvl["valid"], feats, batch["pt_coords"])
+            pf = MaskedBatchNorm()(pf, batch["pt_valid"], train)
+            out.append(pf)
+
+        pad_masks = ~batch["pt_valid"]
+        logits = nn.Dense(self.n_classes)(out[-1])
+        return out, batch["pt_coords"], pad_masks, logits

@@ -1,0 +1,365 @@
+"""MaskPS: backbone + decoder + DETR-style mask losses + training step.
+
+JAX equivalent of the reference LightningModule MaskPS
+(self-training/mask_pls/models/mask_model.py:13-217) with its MaskLoss /
+HungarianMatcher (loss.py:14-361, matcher.py:12-125):
+
+  * Hungarian matching runs on host (scipy linear_sum_assignment) via
+    jax.pure_callback on device-computed cost matrices -- the reference
+    also falls back to CPU for LSAP (matcher.py:116);
+  * targets are padded to a static [B, T, N] layout; padded targets get a
+    +1e6 matching cost (constant-cost dummy columns leave the real
+    assignment optimal);
+  * mask losses evaluate on a shared per-sample point pool: ~500 points per
+    target mask plus uniform fill (reference utils/misc.py:38-52), sampled
+    with replacement (deviation: the reference takes each mask's first 500
+    ids; with-replacement uniform sampling is unbiased and shape-static);
+  * class CE uses unit weights, matching the reference's shipped state
+    (loss.py:44-46 -- the eos_coef line is commented out there).
+
+Loss weights: ce 2.0, dice 5.0, mask 5.0 (model.yaml LOSS.WEIGHTS).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from autoinst_tpu.models.maskpls import sparse
+from autoinst_tpu.models.maskpls.backbone import MinkUNet
+from autoinst_tpu.models.maskpls.decoder import MaskedTransformerDecoder
+
+
+@dataclass(frozen=True)
+class MaskPLSConfig:
+    num_classes: int = 1          # class-agnostic (reference mink.py:18)
+    resolution: float = 0.05
+    num_queries: int = 40
+    overlap_threshold: float = 0.8
+    # loss
+    w_ce: float = 2.0
+    w_dice: float = 5.0
+    w_mask: float = 5.0
+    p_ratio: float = 0.4
+    num_points: int = 50000      # shared pool size (model.yaml NUM_POINTS)
+    n_mask_pts: int = 500
+    # optimization (model.yaml TRAIN)
+    lr: float = 1e-4
+    grad_clip: float = 0.5
+    batch_acc: int = 4
+
+
+class MaskPS(nn.Module):
+    cfg: MaskPLSConfig = MaskPLSConfig()
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False):
+        v0 = batch["levels"][0]["nbr3"].shape[1]
+        vox_feats = jax.vmap(sparse.voxelize_features,
+                             in_axes=(0, 0, 0, None))(
+            batch["pt_feats"], batch["point_voxel"], batch["pt_valid"],
+            v0 + 1)[:, :v0]
+        bb = MinkUNet(n_classes=self.cfg.num_classes, name="backbone")
+        feats, coords, pad_masks, bb_logits = bb(
+            {**batch, "vox_feats": vox_feats}, train=train)
+        dec = MaskedTransformerDecoder(
+            num_queries=self.cfg.num_queries,
+            num_classes=self.cfg.num_classes, name="decoder")
+        outputs = dec(feats, coords, pad_masks)
+        return outputs, pad_masks, bb_logits
+
+
+# ----------------------------------------------------------------- losses
+
+
+def _bce_logits(logits, targets):
+    return jnp.maximum(logits, 0) - logits * targets + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _pair_costs(out_mask, tgt_mask):
+    """Mask2Former pairwise BCE + dice costs over a shared point subset.
+
+    out_mask [Q, P] logits, tgt_mask [T, P] binary. Returns ([Q,T], [Q,T]).
+    """
+    p = out_mask.shape[1]
+    pos = _bce_logits(out_mask, jnp.ones_like(out_mask))   # [Q, P]
+    neg = _bce_logits(out_mask, jnp.zeros_like(out_mask))
+    cost_mask = (pos @ tgt_mask.T + neg @ (1 - tgt_mask).T) / p
+    sig = jax.nn.sigmoid(out_mask)
+    num = 2 * (sig @ tgt_mask.T)
+    den = sig.sum(1, keepdims=True) + tgt_mask.sum(1)[None, :]
+    cost_dice = 1 - (num + 1) / (den + 1)
+    return cost_mask, cost_dice
+
+
+def matching_costs(outputs, targets, rng, cfg: MaskPLSConfig):
+    """[B, Q, T] matching cost for one prediction level
+    (reference matcher.py:64-118)."""
+    logits = outputs["pred_logits"]          # [B, Q, C+1]
+    masks = outputs["pred_masks"]            # [B, P, Q]
+    tgt_cls = targets["classes"]             # [B, T]
+    tgt_msk = targets["masks"]               # [B, T, P]
+    tgt_valid = targets["valid"]             # [B, T]
+    b, p, q = masks.shape
+    n_sub = max(int(cfg.p_ratio * p), 1)
+
+    def one(logit_b, mask_b, cls_b, tmask_b, tvalid_b, nvalid_b, key):
+        prob = jax.nn.softmax(logit_b, axis=-1)
+        cost_class = -prob[:, cls_b]                   # [Q, T]
+        # shared random subset of valid points (randint w/ replacement,
+        # matcher.py:83-86)
+        u = jax.random.uniform(key, (n_sub,))
+        pt_idx = jnp.floor(u * nvalid_b).astype(jnp.int32)
+        om = mask_b.T[:, pt_idx]                       # [Q, n_sub]
+        tm = tmask_b[:, pt_idx]                        # [T, n_sub]
+        cost_mask, cost_dice = _pair_costs(om, tm)
+        c = cfg.w_mask * cost_mask + cfg.w_ce * cost_class \
+            + cfg.w_dice * cost_dice
+        return jnp.where(tvalid_b[None, :], c, 1e6)
+
+    keys = jax.random.split(rng, b)
+    nvalid = jnp.sum(targets["point_valid"], axis=1)
+    return jax.vmap(one)(logits, masks, tgt_cls, tgt_msk, tgt_valid, nvalid,
+                         keys)
+
+
+def _host_lsa(costs: np.ndarray) -> np.ndarray:
+    """costs [L, B, Q, T] -> assignment [L, B, T] (query index per target)."""
+    from scipy.optimize import linear_sum_assignment
+    L, B, Q, T = costs.shape
+    out = np.zeros((L, B, T), np.int32)
+    for l in range(L):
+        for b in range(B):
+            row, col = linear_sum_assignment(costs[l, b])
+            assign = np.zeros(T, np.int32)
+            assign[col] = row
+            out[l, b] = assign
+    return out
+
+
+def _match_callback(all_costs: jax.Array) -> jax.Array:
+    shape = jax.ShapeDtypeStruct(all_costs.shape[:2] + (all_costs.shape[3],),
+                                 jnp.int32)
+    return jax.pure_callback(_host_lsa, shape, all_costs)
+
+
+@jax.custom_jvp
+def _hungarian_float(all_costs: jax.Array) -> jax.Array:
+    return _match_callback(all_costs).astype(jnp.float32)
+
+
+@_hungarian_float.defjvp
+def _hungarian_jvp(primals, tangents):
+    # the assignment is a piecewise-constant function of the costs: zero
+    # tangent (the reference also matches under no_grad, matcher.py:39)
+    out = _hungarian_float(primals[0])
+    return out, jnp.zeros_like(out)
+
+
+def hungarian_match(all_costs: jax.Array) -> jax.Array:
+    """Device->host LSAP round trip inside jit (static shapes, grad-safe)."""
+    return _hungarian_float(jax.lax.stop_gradient(all_costs)
+                            ).astype(jnp.int32)
+
+
+def level_losses(outputs, targets, assign, pool, cfg: MaskPLSConfig):
+    """CE + dice + mask losses for one level given the matching.
+
+    assign [B, T]: query index per target. pool [B, P_pool]: shared sampled
+    point ids per batch element."""
+    logits = outputs["pred_logits"]          # [B, Q, C+1]
+    masks = outputs["pred_masks"]            # [B, P, Q]
+    tgt_cls = targets["classes"]
+    tgt_msk = targets["masks"]
+    tgt_valid = targets["valid"].astype(jnp.float32)
+    b, q = logits.shape[:2]
+    num_classes = logits.shape[2] - 1
+
+    # ---- classification CE (loss.py:117-157), unit class weights
+    target_classes = jnp.full((b, q), num_classes, jnp.int32)
+    qidx = assign
+    updates = jnp.where(targets["valid"], tgt_cls, num_classes)
+    target_classes = jax.vmap(
+        lambda tc, qi, up: tc.at[qi].set(up))(target_classes, qidx, updates)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)
+    loss_ce = jnp.mean(ce)
+
+    # ---- mask + dice on the shared pool (loss.py:159-213)
+    num_masks = jnp.maximum(jnp.sum(tgt_valid), 1.0)
+
+    def one(mask_b, tmask_b, assign_b, pool_b):
+        pred = mask_b.T[assign_b][:, pool_b]      # [T, P_pool] logits
+        tgt = tmask_b[:, pool_b]                  # [T, P_pool]
+        lm = jnp.mean(_bce_logits(pred, tgt), axis=1)
+        sig = jax.nn.sigmoid(pred)
+        num = 2 * jnp.sum(sig * tgt, axis=1)
+        den = jnp.sum(sig, axis=1) + jnp.sum(tgt, axis=1)
+        ld = 1 - (num + 1) / (den + 1)
+        return lm, ld
+
+    lm, ld = jax.vmap(one)(masks, tgt_msk, assign, pool)
+    loss_mask = jnp.sum(lm * tgt_valid) / num_masks
+    loss_dice = jnp.sum(ld * tgt_valid) / num_masks
+    return {"loss_ce": loss_ce * cfg.w_ce,
+            "loss_mask": loss_mask * cfg.w_mask,
+            "loss_dice": loss_dice * cfg.w_dice}
+
+
+def sample_point_pool(rng, targets, cfg: MaskPLSConfig, p_total: int):
+    """Per-sample shared point pool: ~n_mask_pts per valid mask (with
+    replacement) + uniform fill (reference utils/misc.py:38-52)."""
+    tgt_msk = targets["masks"]               # [B, T, P]
+    b, t, p = tgt_msk.shape
+    pool_size = min(cfg.num_points, p_total)
+
+    def one(key, tm, tvalid, nvalid):
+        k1, k2 = jax.random.split(key)
+        per_mask = min(cfg.n_mask_pts, max(pool_size // max(t, 1), 1))
+        # sample per-mask points via inverse cdf over the mask distribution
+        cdf = jnp.cumsum(tm, axis=1)
+        tot = cdf[:, -1:]
+        u = jax.random.uniform(k1, (t, per_mask)) * jnp.maximum(tot, 1.0)
+        idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cdf, u)
+        idx = jnp.where((tvalid[:, None]) & (tot > 0), idx, 0)
+        m_idx = idx.reshape(-1)[:pool_size]
+        fill = jnp.floor(jax.random.uniform(
+            k2, (pool_size - m_idx.shape[0],)) * nvalid).astype(jnp.int32)
+        return jnp.concatenate([m_idx.astype(jnp.int32), fill])
+
+    keys = jax.random.split(rng, b)
+    nvalid = jnp.sum(targets["point_valid"], axis=1)
+    return jax.vmap(one)(keys, tgt_msk, targets["valid"], nvalid)
+
+
+def mask_loss(outputs, targets, rng, cfg: MaskPLSConfig):
+    """Total DETR-style loss over the final + auxiliary levels
+    (loss.py:54-103)."""
+    levels = [outputs] + list(outputs.get("aux_outputs", []))
+    k_match, k_pool = jax.random.split(rng)
+    costs = jnp.stack([
+        matching_costs(lvl, targets, jax.random.fold_in(k_match, i), cfg)
+        for i, lvl in enumerate(levels)])
+    assign = hungarian_match(costs)          # [L, B, T]
+    p_total = outputs["pred_masks"].shape[1]
+    pool = sample_point_pool(k_pool, targets, cfg, p_total)
+
+    losses = {}
+    total = 0.0
+    for i, lvl in enumerate(levels):
+        ld = level_losses(lvl, targets, assign[i], pool, cfg)
+        prefix = "" if i == 0 else f"{i - 1}_"
+        for k, v in ld.items():
+            losses[prefix + k] = v
+            total = total + v
+    losses["total"] = total
+    return total, losses
+
+
+# ------------------------------------------------------- panoptic inference
+
+
+def panoptic_inference(pred_logits: np.ndarray, pred_masks: np.ndarray,
+                       pt_valid: np.ndarray, num_classes: int = 1,
+                       things_ids=(0,), overlap_threshold: float = 0.8):
+    """Greedy panoptic assembly (reference mask_model.py:125-250), host-side.
+
+    Returns (sem [N], ins [N], confs [N]) for one sample."""
+    n = int(pt_valid.sum())
+    prob = _softmax_np(pred_logits)          # [Q, C+1]
+    scores = prob.max(-1)
+    labels = prob.argmax(-1)
+    sig = _sigmoid_np(pred_masks[:n])        # [N, Q]
+    keep = labels != num_classes
+
+    sem = np.zeros(n, np.int32)
+    ins = np.zeros(n, np.int32)
+    cur_scores = scores[keep]
+    cur_masks = sig[:, keep]
+    cur_classes = labels[keep]
+    if cur_masks.shape[1] == 0:
+        return sem, ins, np.zeros(n, np.float32)
+
+    cur_prob_masks = cur_scores[None, :] * cur_masks
+    probs = _softmax_np(cur_prob_masks, axis=1)
+    confs = probs.max(1)
+    mask_ids = cur_prob_masks.argmax(1)
+
+    segment_id = 0
+    stuff_memory = {}
+    for k in range(cur_classes.shape[0]):
+        pred_class = int(cur_classes[k])
+        isthing = pred_class in things_ids
+        mask_area = int((mask_ids == k).sum())
+        original_area = int((cur_masks[:, k] >= 0.5).sum())
+        mask = (mask_ids == k) & (cur_masks[:, k] >= 0.5)
+        if mask_area > 0 and original_area > 0 and mask.sum() > 0:
+            if mask_area / original_area < overlap_threshold:
+                continue
+            if not isthing:
+                if pred_class in stuff_memory:
+                    continue
+                stuff_memory[pred_class] = segment_id + 1
+            segment_id += 1
+            sem[mask] = pred_class
+            ins[mask] = segment_id if isthing else 0
+    return sem, ins, confs.astype(np.float32)
+
+
+def _softmax_np(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _sigmoid_np(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+# ------------------------------------------------------------ train state
+
+
+def create_train_state(rng, cfg: MaskPLSConfig, example_batch):
+    import optax
+    from flax.training import train_state
+
+    class TrainState(train_state.TrainState):
+        batch_stats: dict = None
+
+    model = MaskPS(cfg)
+    variables = model.init(rng, example_batch, train=False)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(cfg.lr),
+    )
+    if cfg.batch_acc > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.batch_acc)
+    return TrainState.create(apply_fn=model.apply, params=variables["params"],
+                             batch_stats=variables.get("batch_stats", {}),
+                             tx=tx)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def train_step(state, batch, targets, rng, cfg: MaskPLSConfig):
+    """One optimizer step: forward, Hungarian matching, losses, grads
+    (reference training_step, mask_model.py:55-71 + Trainer grad-clip 0.5
+    and accumulate_grad_batches 4, train_model.py:67-76)."""
+
+    def loss_fn(params):
+        outputs, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch, train=True, mutable=["batch_stats"])
+        out, pad, bb_logits = outputs
+        total, parts = mask_loss(out, targets, rng, cfg)
+        return total, (parts, mutated["batch_stats"])
+
+    (total, (parts, new_stats)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    return state, total, parts

@@ -1,0 +1,109 @@
+"""Pseudo-label chunk dataset + static-shape batch collation for MaskPLS.
+
+Numpy port of the reference PseudoSemanticDataset
+(self-training/mask_pls/datasets/pseudo_dataset.py:100-352): walks npz chunk
+folders (the GEN_SELF_TRAIN_DATA export schema), centers coordinates, builds
+per-instance binary masks (> min_points), class-agnostic classes (all 0),
+optional augmentation (rotation/flip/scale/jitter) and 80k subsampling.
+
+Collation pads everything to static shapes and builds the sparse-conv
+VoxelPlan per sample (TPU input contract)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from autoinst_tpu.models.maskpls import sparse
+
+
+class PseudoDataset:
+    def __init__(self, data_path: str, min_points: int = 100,
+                 sub_pts: int = 80000, subsample: bool = True,
+                 aug: bool = False, split: str = "train", seed: int = 0):
+        self.files = []
+        for folder in sorted(os.listdir(data_path)):
+            sub = os.path.join(data_path, folder)
+            if not os.path.isdir(sub):
+                continue
+            for fn in sorted(os.listdir(sub)):
+                if fn.endswith(".npz"):
+                    self.files.append(os.path.join(sub, fn))
+        self.min_points = min_points
+        self.sub_pts = sub_pts
+        self.subsample = subsample
+        self.aug = aug
+        self.split = split
+        self.rng = np.random.default_rng(seed)
+        self.things_ids = [0]
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index: int):
+        with np.load(self.files[index]) as data:
+            xyz = data["pts"].astype(np.float64)
+            ins_labels = data["ncut_labels"].astype(np.int32)
+        xyz = xyz - xyz.mean(axis=0)
+
+        if self.split == "train" and self.subsample \
+                and len(xyz) > self.sub_pts:
+            idx = self.rng.choice(len(xyz), self.sub_pts, replace=False)
+            xyz, ins_labels = xyz[idx], ins_labels[idx]
+
+        if self.split == "train" and self.aug:
+            xyz = self._augment(xyz)
+
+        ids, counts = np.unique(ins_labels, return_counts=True)
+        keep = ids[counts > self.min_points]
+        masks = np.stack([(ins_labels == i) for i in keep]) if len(keep) \
+            else np.zeros((0, len(xyz)), bool)
+        classes = np.zeros(len(keep), np.int32)  # class-agnostic
+
+        feats = np.concatenate([xyz, np.ones((len(xyz), 1))], axis=1)
+        return {"xyz": xyz, "feats": feats, "masks": masks,
+                "classes": classes, "ins_labels": ins_labels,
+                "fname": self.files[index]}
+
+    def _augment(self, xyz):
+        # reference pseudo_dataset.py:319-352: rot around z, flip, scale,
+        # jitter
+        rot = np.deg2rad(self.rng.random() * 360)
+        c, s = np.cos(rot), np.sin(rot)
+        xyz[:, :2] = xyz[:, :2] @ np.array([[c, s], [-s, c]])
+        flip = self.rng.integers(0, 4)
+        if flip == 1:
+            xyz[:, 0] = -xyz[:, 0]
+        elif flip == 2:
+            xyz[:, 1] = -xyz[:, 1]
+        elif flip == 3:
+            xyz[:, :2] = -xyz[:, :2]
+        xyz *= self.rng.uniform(0.95, 1.05)
+        xyz += self.rng.normal(scale=0.01, size=xyz.shape)
+        return xyz
+
+
+def collate(items: list, res: float, v0: int, n_points: int, t_max: int):
+    """Static-shape batch: (model_batch, targets)."""
+    plans, pts_list, feats_list = [], [], []
+    for it in items:
+        coords = sparse.quantize_points(it["xyz"], res)
+        plans.append(sparse.build_plan(coords, v0))
+        pts_list.append(it["xyz"].astype(np.float32))
+        feats_list.append(it["feats"].astype(np.float32))
+    batch = sparse.plans_to_batch(plans, pts_list, feats_list, res, n_points)
+
+    b = len(items)
+    classes = np.zeros((b, t_max), np.int32)
+    masks = np.zeros((b, t_max, n_points), np.float32)
+    valid = np.zeros((b, t_max), bool)
+    for i, it in enumerate(items):
+        t = min(len(it["classes"]), t_max)
+        classes[i, :t] = it["classes"][:t]
+        n = min(it["masks"].shape[1], n_points)
+        masks[i, :t, :n] = it["masks"][:t, :n]
+        valid[i, :t] = True
+    targets = {"classes": classes, "masks": masks, "valid": valid,
+               "point_valid": batch["pt_valid"]}
+    return batch, targets

@@ -85,12 +85,16 @@ def _bucket_of(n: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("method", "iters"))
-def _solve_batch(W: jax.Array, idx: jax.Array, valid: jax.Array,
-                 method: str, iters: int):
-    """Gather submatrices W[idx][:, idx] and solve their best cuts, batched."""
+def _solve_batch(W: jax.Array, cid: jax.Array, idx: jax.Array,
+                 valid: jax.Array, method: str, iters: int):
+    """Gather submatrices W[cid][idx][:, idx] and solve their cuts, batched.
 
-    def one(idx_i, valid_i):
-        sub = jnp.take(jnp.take(W, idx_i, axis=0), idx_i, axis=1)
+    W is a stack of chunk graphs [C, N, N]; every worklist item addresses one
+    chunk by `cid` -- subgraphs from *different chunks* solve in one call."""
+
+    def one(cid_i, idx_i, valid_i):
+        Wc = W[cid_i]
+        sub = jnp.take(jnp.take(Wc, idx_i, axis=0), idx_i, axis=1)
         sub = sub * valid_i[:, None] * valid_i[None, :]
         if method == "eigh":
             ev, _ = eigen.fiedler_eigh(sub, valid_i)
@@ -98,42 +102,46 @@ def _solve_batch(W: jax.Array, idx: jax.Array, valid: jax.Array,
             ev, _ = eigen.fiedler_lobpcg(sub, valid_i, iters=iters)
         return ncut_threshold_sweep(sub, valid_i, ev)
 
-    return jax.vmap(one)(idx, valid)
+    return jax.vmap(one)(cid, idx, valid)
 
 
-def recursive_ncut(W: jax.Array, num_valid: int, T: float = 0.03,
-                   split_lim: float = 0.01, method: str = "auto",
-                   lobpcg_iters: int = 150) -> np.ndarray:
-    """Cluster ids for the chunk graph W (padded [N, N], first `num_valid`
-    rows real). Returns int32 labels of shape [num_valid].
+def recursive_ncut_batch(W: jax.Array, num_valids, T: float = 0.03,
+                         split_lim: float = 0.01, method: str = "auto",
+                         lobpcg_iters: int = 150) -> list[np.ndarray]:
+    """Cluster a batch of chunk graphs W [C, N, N] (chunk c has
+    num_valids[c] real rows) through ONE shared worklist: every round, all
+    pending subgraphs of all chunks -- grouped by size bucket -- are solved
+    in single vmapped device calls. Returns per-chunk int32 label arrays.
 
-    method: "eigh" (exact), "lobpcg", or "auto" (eigh for small buckets where
-    dense decomposition is cheap, LOBPCG GEMM iteration for large ones).
+    This is the replacement for recursion depth (SURVEY.md SS7.6): the
+    reference does one serial ARPACK solve per tree node; here the whole
+    forest advances level by level with GEMM-batched solves.
     """
-    n_orig = num_valid
-    labels = np.zeros((n_orig,), np.int32)
-    next_label = 0
+    num_valids = [int(n) for n in np.atleast_1d(num_valids)]
+    labels = [np.zeros((n,), np.int32) for n in num_valids]
+    next_label = [0] * len(num_valids)
 
-    def admissible(size: int) -> bool:
-        # entry guard, normalized_cut.py:39-40 (note W' adds I, size check
-        # is on the W' shape which equals the subgraph size)
-        return size > 2 and size / (n_orig + 1e-8) > split_lim
+    def admissible(cid: int, size: int) -> bool:
+        # entry guard, normalized_cut.py:39-40
+        return size > 2 and size / (num_valids[cid] + 1e-8) > split_lim
 
-    root = np.arange(n_orig, dtype=np.int32)
-    worklist: list[np.ndarray] = []
-    finalized: list[np.ndarray] = []
-    if admissible(n_orig):
-        worklist.append(root)
-    else:
-        finalized.append(root)
+    worklist: list[tuple[int, np.ndarray]] = []
+    finalized: list[tuple[int, np.ndarray]] = []
+    for c, n in enumerate(num_valids):
+        root = np.arange(n, dtype=np.int32)
+        (worklist if admissible(c, n) else finalized).append((c, root))
 
     while worklist:
-        # group by bucket size
-        by_bucket: dict[int, list[np.ndarray]] = {}
+        by_bucket: dict[int, list] = {}
         for item in worklist:
-            by_bucket.setdefault(_bucket_of(len(item)), []).append(item)
+            by_bucket.setdefault(_bucket_of(len(item[1])), []).append(item)
         worklist = []
 
+        # phase 1: dispatch every (bucket, batch) solve of this round without
+        # blocking, so device work and host<->device transfers overlap across
+        # groups (a single blocking call per group would serialize on link
+        # latency, which dominates over a remote/tunneled device)
+        pending = []
         for bucket, items in sorted(by_bucket.items()):
             if method == "auto":
                 m = "eigh" if bucket <= 512 else "lobpcg"
@@ -143,27 +151,47 @@ def recursive_ncut(W: jax.Array, num_valid: int, T: float = 0.03,
             for lo in range(0, len(items), max_batch):
                 batch = items[lo:lo + max_batch]
                 bsz = len(batch)
-                idx = np.zeros((bsz, bucket), np.int32)
-                val = np.zeros((bsz, bucket), bool)
-                for i, it in enumerate(batch):
+                # pad the batch to a power of two (replicating the last item)
+                # so the jit cache sees a bounded set of (bucket, batch)
+                # shapes -- otherwise every worklist round compiles anew
+                padded_bsz = 1 << (bsz - 1).bit_length()
+                cids = np.zeros((padded_bsz,), np.int32)
+                idx = np.zeros((padded_bsz, bucket), np.int32)
+                val = np.zeros((padded_bsz, bucket), bool)
+                for i in range(padded_bsz):
+                    c, it = batch[min(i, bsz - 1)]
+                    cids[i] = c
                     idx[i, :len(it)] = it
                     val[i, :len(it)] = True
-                masks, mcuts = _solve_batch(W, jnp.asarray(idx),
-                                            jnp.asarray(val), m, lobpcg_iters)
-                masks = np.asarray(masks)
-                mcuts = np.asarray(mcuts)
-                for i, it in enumerate(batch):
-                    if mcuts[i] < T:
-                        m_i = masks[i, :len(it)]
-                        for side in (it[m_i], it[~m_i]):
-                            if admissible(len(side)):
-                                worklist.append(side)
-                            else:
-                                finalized.append(side)
-                    else:
-                        finalized.append(it)
+                out = _solve_batch(W, jnp.asarray(cids), jnp.asarray(idx),
+                                   jnp.asarray(val), m, lobpcg_iters)
+                pending.append((batch, out))
 
-    for cluster in finalized:
-        labels[cluster] = next_label
-        next_label += 1
+        # phase 2: collect + split
+        for batch, (masks, mcuts) in pending:
+            masks = np.asarray(masks)
+            mcuts = np.asarray(mcuts)
+            for i, (c, it) in enumerate(batch):
+                if mcuts[i] < T:
+                    m_i = masks[i, :len(it)]
+                    for side in (it[m_i], it[~m_i]):
+                        if admissible(c, len(side)):
+                            worklist.append((c, side))
+                        else:
+                            finalized.append((c, side))
+                else:
+                    finalized.append((c, it))
+
+    for c, cluster in finalized:
+        labels[c][cluster] = next_label[c]
+        next_label[c] += 1
     return labels
+
+
+def recursive_ncut(W: jax.Array, num_valid: int, T: float = 0.03,
+                   split_lim: float = 0.01, method: str = "auto",
+                   lobpcg_iters: int = 150) -> np.ndarray:
+    """Single-chunk convenience wrapper around recursive_ncut_batch."""
+    return recursive_ncut_batch(W[None], [num_valid], T=T,
+                                split_lim=split_lim, method=method,
+                                lobpcg_iters=lobpcg_iters)[0]

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Headline benchmark: NCuts chunk throughput (affinity + recursive
+eigensolve), chunks/sec/chip, versus the reference's CPU algorithm.
+
+The reference publishes no timing (BASELINE.md), so the baseline is measured
+here: a faithful scipy implementation of its exact per-chunk algorithm
+(cdist affinity ncuts_utils.py:60-156 + ARPACK shift-invert recursion
+normalized_cut.py:37-63) run on this host's CPU. The TPU path is this
+framework's production path: fused Pallas affinity + batched worklist
+spectral solver (autoinst_tpu.ncuts).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_CHUNKS (default 32), BENCH_BASELINE_CHUNKS (default 2),
+BENCH_N (default 4096 padded chunk size).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synth_chunk(seed: int, n_points: int, n_instances: int = 28,
+                tarl_dim: int = 96):
+    """A realistic post-downsample chunk: ~0.35m-spaced instance blobs in a
+    25m box + clutter, with clusterwise TARL features."""
+    rng = np.random.default_rng(seed)
+    pts, feats, sizes = [], [], rng.integers(30, 260, size=n_instances)
+    total = 0
+    for i in range(n_instances):
+        c = rng.uniform(-11, 11, size=3) * np.array([1, 1, 0.15])
+        extent = rng.uniform(0.5, 3.0, size=3)
+        k = int(sizes[i])
+        p = c + rng.uniform(-0.5, 0.5, size=(k, 3)) * extent
+        f = np.zeros((k, tarl_dim), np.float32)
+        f[:] = rng.normal(size=tarl_dim) * 0.5
+        f += rng.normal(size=(k, tarl_dim)) * 0.05
+        pts.append(p)
+        feats.append(f)
+        total += k
+    # clutter (vegetation-like)
+    k = max(n_points - total, 0)
+    pts.append(rng.uniform(-12.5, 12.5, size=(k, 3)) * np.array([1, 1, 0.3]))
+    f = rng.normal(size=(k, tarl_dim)).astype(np.float32) * 0.3
+    feats.append(f)
+    pts = np.concatenate(pts)[:n_points].astype(np.float32)
+    feats = np.concatenate(feats)[:n_points].astype(np.float32)
+    return pts, feats
+
+
+ALPHA, THETA, PROX, T_NCUT = 1.0, 0.5, 1.0, 0.03
+
+
+# --------------------------------------------------------------- baseline
+
+def baseline_chunk(points: np.ndarray, feats: np.ndarray):
+    """The reference per-chunk algorithm, verbatim semantics, scipy/ARPACK."""
+    from scipy.spatial.distance import cdist
+    from scipy import sparse
+    from scipy.sparse.linalg import eigsh
+
+    d = cdist(points, points)
+    mask = np.where(d <= PROX, 1, 0)
+    spatial = mask * np.exp(-ALPHA * d)
+    dt = cdist(feats, feats)
+    no_feat = ~feats.any(1)
+    dt[no_feat] = 0
+    dt[:, no_feat] = 0
+    tarl = mask * np.exp(-THETA * dt)
+    A = sparse.csr_matrix(spatial * tarl)
+
+    def ncut(w, num_orig, labels):
+        W = w + sparse.identity(w.shape[0])
+        if W.shape[0] > 2 and labels.shape[0] / (num_orig + 1e-8) > 0.01:
+            deg = np.array(W.sum(axis=0))[0]
+            D2 = sparse.diags(np.reciprocal(np.sqrt(deg)))
+            L = D2 * (sparse.diags(deg) - W) * D2
+            try:
+                evals, evecs = eigsh(L, 2, sigma=1e-10, which="LM")
+            except Exception:
+                return [labels]
+            ev = evecs[:, np.argsort(evals)[1]]
+            mn, mx = ev.min(), ev.max()
+            best, mcut = None, np.inf
+            if not np.allclose(mn, mx):
+                wd = np.asarray(w.todense())
+                for t in np.linspace(mn, mx, 10, endpoint=False):
+                    m = ev > t
+                    cut = (wd.sum() - wd[m][:, m].sum()
+                           - wd[~m][:, ~m].sum()) / 2
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        cost = cut / deg[m].sum() + cut / deg[~m].sum()
+                    if cost < mcut:
+                        best, mcut = m, cost
+            if mcut < T_NCUT:
+                return (ncut(w[best][:, best], num_orig, labels[best])
+                        + ncut(w[~best][:, ~best], num_orig, labels[~best]))
+        return [labels]
+
+    return ncut(A, len(points), np.arange(len(points)))
+
+
+# -------------------------------------------------------------- tpu path
+
+def tpu_run(chunks, use_pallas: bool, method: str):
+    import jax
+    import jax.numpy as jnp
+    from autoinst_tpu.ops.affinity import affinity_pallas, affinity_xla
+    from autoinst_tpu.ncuts.solver import recursive_ncut_batch
+
+    n = chunks[0][0].shape[0]
+    valid = jnp.ones((n,), bool)
+
+    def build(pts, feats):
+        if use_pallas:
+            return affinity_pallas(jnp.asarray(pts), valid,
+                                   tarl=jnp.asarray(feats), alpha=ALPHA,
+                                   theta=THETA, proximity=PROX)
+        return affinity_xla(jnp.asarray(pts), valid, tarl=jnp.asarray(feats),
+                            alpha=ALPHA, theta=THETA, proximity=PROX)
+
+    Ws = jnp.stack([build(p, f) for p, f in chunks])
+    Ws.block_until_ready()
+    labels = recursive_ncut_batch(Ws, [n] * len(chunks), T=T_NCUT,
+                                  method=method)
+    return labels
+
+
+def main():
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "32"))
+    n_base = int(os.environ.get("BENCH_BASELINE_CHUNKS", "2"))
+    n_pts = int(os.environ.get("BENCH_N", "4096"))
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/autoinst_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    backend = jax.default_backend()
+    use_pallas = backend == "tpu"
+    method = os.environ.get("BENCH_NCUT_METHOD", "lobpcg")
+    log(f"backend={backend} pallas={use_pallas} method={method} "
+        f"chunks={n_chunks} n={n_pts}")
+
+    chunks = [synth_chunk(s, n_pts) for s in range(n_chunks)]
+
+    # warmup: compile every program shape on a small prefix
+    log("warmup (compilation)...")
+    t0 = time.perf_counter()
+    tpu_run(chunks[:2], use_pallas, method)
+    log(f"warmup done in {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    labels = tpu_run(chunks, use_pallas, method)
+    tpu_dt = time.perf_counter() - t0
+    tpu_rate = n_chunks / tpu_dt
+    n_instances = [len(np.unique(l)) for l in labels]
+    log(f"tpu: {tpu_dt:.2f}s for {n_chunks} chunks -> "
+        f"{tpu_rate:.3f} chunks/s; instances/chunk ~ "
+        f"{np.mean(n_instances):.1f}")
+
+    t0 = time.perf_counter()
+    for p, f in chunks[:n_base]:
+        baseline_chunk(p, f)
+    cpu_dt = time.perf_counter() - t0
+    cpu_rate = n_base / cpu_dt
+    log(f"cpu baseline: {cpu_dt:.2f}s for {n_base} chunks -> "
+        f"{cpu_rate:.3f} chunks/s")
+
+    print(json.dumps({
+        "metric": "ncuts_chunks_per_sec_per_chip",
+        "value": round(tpu_rate, 4),
+        "unit": "chunks/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

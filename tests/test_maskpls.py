@@ -1,0 +1,187 @@
+"""MaskPLS stack tests: sparse conv vs dense oracle, forward shapes,
+loss/matcher behavior, a short training-loss-decreases run, panoptic
+inference."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from autoinst_tpu.models.maskpls import sparse
+from autoinst_tpu.models.maskpls.model import (MaskPLSConfig, MaskPS,
+                                               create_train_state,
+                                               mask_loss, panoptic_inference,
+                                               train_step)
+from autoinst_tpu.models.maskpls.pseudo_dataset import PseudoDataset, collate
+
+
+def dense_conv_oracle(grid_feats, weights):
+    """grid_feats [X,Y,Z,Ci], weights [27,Ci,Co]: valid-everywhere 3^3 conv."""
+    X, Y, Z, ci = grid_feats.shape
+    co = weights.shape[-1]
+    out = np.zeros((X, Y, Z, co))
+    padded = np.zeros((X + 2, Y + 2, Z + 2, ci))
+    padded[1:-1, 1:-1, 1:-1] = grid_feats
+    for o, (di, dj, dk) in enumerate(sparse.K3_OFFSETS):
+        shifted = padded[1 + di:X + 1 + di, 1 + dj:Y + 1 + dj,
+                         1 + dk:Z + 1 + dk]
+        out += shifted @ weights[o]
+    return out
+
+
+class TestSparseConv:
+    def test_matches_dense_oracle(self):
+        rng = np.random.default_rng(0)
+        X = Y = Z = 4
+        coords = np.array([(i, j, k) for i, j, k in np.ndindex(X, Y, Z)])
+        # knock out some voxels to make it truly sparse
+        keep = rng.random(len(coords)) > 0.3
+        coords = coords[keep]
+        plan = sparse.build_plan(coords, v0=256, num_levels=2)
+        ci, co = 5, 7
+        feats = rng.normal(size=(plan.levels[0].num, ci)).astype(np.float32)
+        w = rng.normal(size=(27, ci, co)).astype(np.float32) * 0.1
+
+        fp = np.zeros((256, ci), np.float32)
+        fp[:plan.levels[0].num] = feats
+        out = np.asarray(sparse.gather_conv(
+            jnp.asarray(fp), jnp.asarray(plan.levels[0].nbr3), jnp.asarray(w)))
+
+        # dense oracle on the same occupancy
+        grid = np.zeros((X, Y, Z, ci))
+        lv_coords = plan.levels[0].coords[:plan.levels[0].num]
+        for n, (i, j, k) in enumerate(lv_coords):
+            grid[i, j, k] = feats[n]
+        dense = dense_conv_oracle(grid, w)
+        for n, (i, j, k) in enumerate(lv_coords):
+            np.testing.assert_allclose(out[n], dense[i, j, k], atol=1e-3)
+
+    def test_down_up_roundtrip_structure(self):
+        rng = np.random.default_rng(1)
+        coords = rng.integers(0, 10, size=(300, 3))
+        plan = sparse.build_plan(coords, v0=512, num_levels=3)
+        l0 = plan.levels[0]
+        # level-l plan stores the child map that PRODUCES level l+1:
+        # every real fine voxel's parent lists it among its children
+        for vfine in range(0, l0.num, 17):
+            p = l0.parent[vfine]
+            off = l0.parent_off[vfine]
+            assert l0.child[p, off] == vfine
+        assert l0.child.max() <= 512
+
+    def test_voxelize_features_mean(self):
+        pv = jnp.asarray(np.array([0, 0, 1, 2], np.int32))
+        feats = jnp.asarray(np.array([[1.0], [3.0], [5.0], [7.0]], np.float32))
+        valid = jnp.ones(4, bool)
+        out = np.asarray(sparse.voxelize_features(feats, pv, valid, 4))
+        np.testing.assert_allclose(out[:3, 0], [2.0, 5.0, 7.0])
+
+
+def tiny_scene(seed=0, n=600, n_inst=3):
+    rng = np.random.default_rng(seed)
+    pts, ins = [], []
+    for i in range(n_inst):
+        c = np.array([i * 3.0, 0, 0])
+        pts.append(c + rng.normal(scale=0.4, size=(n // n_inst, 3)))
+        ins.append(np.full(n // n_inst, i, np.int32))
+    xyz = np.concatenate(pts)
+    ins = np.concatenate(ins)
+    masks = np.stack([ins == i for i in range(n_inst)])
+    return {"xyz": xyz - xyz.mean(0),
+            "feats": np.concatenate([xyz, np.ones((len(xyz), 1))], 1),
+            "masks": masks, "classes": np.zeros(n_inst, np.int32),
+            "ins_labels": ins}
+
+
+CFG = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32)
+
+
+def tiny_batch(seed=0):
+    items = [tiny_scene(seed)]
+    return collate(items, res=0.1, v0=1024, n_points=640, t_max=8)
+
+
+class TestModel:
+    def test_forward_shapes(self):
+        batch, targets = tiny_batch()
+        batch = jax.tree.map(jnp.asarray, batch)
+        model = MaskPS(CFG)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        (out, pad, bb_logits) = model.apply(variables, batch, train=False)
+        assert out["pred_logits"].shape == (1, 8, 2)
+        assert out["pred_masks"].shape == (1, 640, 8)
+        assert len(out["aux_outputs"]) == 9
+        assert bb_logits.shape == (1, 640, 1)
+
+    def test_loss_and_matching(self):
+        batch, targets = tiny_batch()
+        batch = jax.tree.map(jnp.asarray, batch)
+        targets = jax.tree.map(jnp.asarray, targets)
+        model = MaskPS(CFG)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        out, pad, _ = model.apply(variables, batch, train=False)
+        total, parts = mask_loss(out, targets, jax.random.PRNGKey(1), CFG)
+        assert np.isfinite(float(total))
+        assert "loss_ce" in parts and "8_loss_dice" in parts
+
+    @pytest.mark.slow
+    def test_training_reduces_loss(self):
+        batch, targets = tiny_batch()
+        batch = jax.tree.map(jnp.asarray, batch)
+        targets = jax.tree.map(jnp.asarray, targets)
+        cfg = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32,
+                            lr=1e-3, batch_acc=1)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, batch)
+        losses = []
+        for step in range(12):
+            state, total, parts = train_step(
+                state, batch, targets, jax.random.PRNGKey(step), cfg)
+            losses.append(float(total))
+        # matching + point sampling are stochastic: compare trend, not steps
+        assert np.mean(losses[-3:]) < np.mean(losses[:2]), losses
+
+
+class TestPanoptic:
+    def test_recovers_clear_instances(self):
+        # construct logits/masks where queries 0,1 are confident objects
+        q, n = 4, 100
+        logits = np.full((q, 2), -5.0)
+        logits[:, 1] = 5.0          # default: no-object
+        logits[0] = [5.0, -5.0]
+        logits[1] = [5.0, -5.0]
+        masks = np.full((n, q), -10.0)
+        masks[:50, 0] = 10.0
+        masks[50:, 1] = 10.0
+        sem, ins, confs = panoptic_inference(logits, masks,
+                                             np.ones(n, bool))
+        assert len(np.unique(ins[:50])) == 1
+        assert len(np.unique(ins[50:])) == 1
+        assert ins[0] != ins[60]
+        assert (ins > 0).all()
+
+    def test_no_objects(self):
+        q, n = 4, 50
+        logits = np.tile([[-5.0, 5.0]], (q, 1))
+        masks = np.zeros((n, q))
+        sem, ins, confs = panoptic_inference(logits, masks, np.ones(n, bool))
+        assert (ins == 0).all()
+
+
+class TestPseudoDataset:
+    def test_loads_exported_chunks(self, tmp_path):
+        d = tmp_path / "seq0"
+        d.mkdir()
+        scene = tiny_scene(3)
+        np.savez(d / "000000.npz", pts=scene["xyz"],
+                 ncut_labels=scene["ins_labels"],
+                 kitti_labels=scene["ins_labels"],
+                 cluster_labels=np.zeros_like(scene["ins_labels"]),
+                 semantic=np.zeros_like(scene["ins_labels"]))
+        ds = PseudoDataset(str(tmp_path), min_points=50)
+        assert len(ds) == 1
+        item = ds[0]
+        assert item["masks"].shape[0] == 3
+        assert np.allclose(item["xyz"].mean(0), 0, atol=1e-6)
+        batch, targets = collate([item], 0.1, 1024, 640, 8)
+        assert targets["masks"].shape == (1, 8, 640)
+        assert targets["valid"].sum() == 3
