@@ -36,6 +36,18 @@ _BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
 # cap on simultaneously-resident gathered submatrix elements (f32)
 _MAX_BATCH_ELEMS = 1 << 26
 
+# instrumentation: dispatch counts / wall time, reset per recursive call
+STATS = {"solve_calls": 0, "rounds": 0, "items": 0}
+
+
+def _auto_method(bucket: int) -> str:
+    """eigh is exact and cheap on CPU, but its TPU compile takes minutes
+    per shape; the GEMM-only LOBPCG compiles in seconds and is faster at
+    every bucket size on the MXU."""
+    if jax.default_backend() == "cpu":
+        return "eigh" if bucket <= 512 else "lobpcg"
+    return "lobpcg"
+
 
 @partial(jax.jit, static_argnames=("num_cuts",))
 def ncut_threshold_sweep(W: jax.Array, valid: jax.Array, ev: jax.Array,
@@ -142,11 +154,9 @@ def recursive_ncut_batch(W: jax.Array, num_valids, T: float = 0.03,
         # groups (a single blocking call per group would serialize on link
         # latency, which dominates over a remote/tunneled device)
         pending = []
+        STATS["rounds"] += 1
         for bucket, items in sorted(by_bucket.items()):
-            if method == "auto":
-                m = "eigh" if bucket <= 512 else "lobpcg"
-            else:
-                m = method
+            m = _auto_method(bucket) if method == "auto" else method
             max_batch = max(1, _MAX_BATCH_ELEMS // (bucket * bucket))
             for lo in range(0, len(items), max_batch):
                 batch = items[lo:lo + max_batch]
@@ -165,6 +175,8 @@ def recursive_ncut_batch(W: jax.Array, num_valids, T: float = 0.03,
                     val[i, :len(it)] = True
                 out = _solve_batch(W, jnp.asarray(cids), jnp.asarray(idx),
                                    jnp.asarray(val), m, lobpcg_iters)
+                STATS["solve_calls"] += 1
+                STATS["items"] += bsz
                 pending.append((batch, out))
 
         # phase 2: collect + split

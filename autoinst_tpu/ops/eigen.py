@@ -48,12 +48,21 @@ def laplacian_terms(W: jax.Array, valid: jax.Array):
 
 
 def _orthonormalize(X: jax.Array) -> jax.Array:
-    """Thin-QR orthonormalization; robust to rank deficiency via jitter."""
-    q, r = jnp.linalg.qr(X)
-    # flip signs for determinism (positive diagonal of R)
-    sign = jnp.sign(jnp.diagonal(r))
-    sign = jnp.where(sign == 0, 1.0, sign)
-    return q * sign[None, :]
+    """CholeskyQR2 orthonormalization.
+
+    Householder QR of a tall [N, b] block is latency-bound on TPU; two
+    rounds of Cholesky-QR (one [b,b] GEMM + tiny triangular solve each) are
+    pure MXU work and numerically adequate at f32 for b <= 32. Rank
+    deficiency is handled with a diagonal jitter."""
+    def one_round(M):
+        g = M.T @ M
+        jitter = 1e-7 * jnp.maximum(jnp.trace(g), 1.0)
+        g = g + jitter * jnp.eye(g.shape[0], dtype=M.dtype)
+        l = jnp.linalg.cholesky(g)
+        return jax.scipy.linalg.solve_triangular(
+            l, M.T, lower=True).T
+
+    return one_round(one_round(X))
 
 
 @partial(jax.jit, static_argnames=("block", "iters"))

@@ -110,27 +110,42 @@ def ncuts_chunk(dataset, chunk_downsample_dict, pcd_nonground_minor,
             search_radius=cfg.major_voxel_size / 2.0, norm=cfg.tarl_norm)
 
     if weights.get("gamma") or weights.get("beta"):
+        from autoinst_tpu.ops.affinity import sam_label_distance
         from autoinst_tpu.pipeline.image_features import \
             image_affinity_terms
         cam_indices_global, _ = get_indices_feature_reprojection(
             sampled_indices_global, first_id,
             adjacent_frames=cfg.adjacent_frames_cam)
-        dino_terms, sam_terms = image_affinity_terms(
+        dino_terms, sam_ids = image_affinity_terms(
             dataset, pcd_nonground_minor,
             chunk_downsample_dict["indices"][sequence], chunk_major, T_pcd,
             cam_indices_global, cfg,
             sam=bool(weights.get("beta")), dino=bool(weights.get("gamma")))
         padded, valid = _pad_multiple(points_major, cfg.affinity_tile)
+        n_pad = len(padded)
         tarl_pad = None
         if tarl_features is not None:
-            tarl_pad = np.zeros((len(padded), 96), np.float32)
+            tarl_pad = np.zeros((n_pad, 96), np.float32)
             tarl_pad[:num_points_major] = tarl_features
             tarl_pad = jnp.asarray(tarl_pad)
+        sam_terms = []
+        if sam_ids:
+            # spatial proximity mask over padded points for the vote term
+            d = np.linalg.norm(padded[:, None, :] - padded[None, :, :],
+                               axis=-1)
+            prox = ((d <= cfg.proximity_threshold)
+                    & valid[:, None] & valid[None, :]).astype(np.float32)
+            for ids in sam_ids:
+                ids_pad = -np.ones((n_pad, ids.shape[1]), np.int32)
+                ids_pad[:num_points_major] = ids
+                k = int(max(ids.max(), 0)) + 2
+                sam_terms.append(sam_label_distance(
+                    jnp.asarray(ids_pad), jnp.asarray(prox), k))
         A = affinity_xla(
             jnp.asarray(padded), jnp.asarray(valid), tarl=tarl_pad,
             dino_terms=[jnp.asarray(_pad_multiple(f, cfg.affinity_tile)[0])
                         for f in dino_terms],
-            sam_terms=[jnp.asarray(s) for s in sam_terms],
+            sam_terms=sam_terms,
             alpha=weights["alpha"], theta=weights["theta"],
             gamma=weights.get("gamma", 0.0), beta=weights.get("beta", 0.0),
             proximity=cfg.proximity_threshold)

@@ -108,7 +108,7 @@ def baseline_chunk(points: np.ndarray, feats: np.ndarray):
 
 # -------------------------------------------------------------- tpu path
 
-def tpu_run(chunks, use_pallas: bool, method: str):
+def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
     import jax
     import jax.numpy as jnp
     from autoinst_tpu.ops.affinity import affinity_pallas, affinity_xla
@@ -128,7 +128,7 @@ def tpu_run(chunks, use_pallas: bool, method: str):
     Ws = jnp.stack([build(p, f) for p, f in chunks])
     Ws.block_until_ready()
     labels = recursive_ncut_batch(Ws, [n] * len(chunks), T=T_NCUT,
-                                  method=method)
+                                  method=method, lobpcg_iters=iters)
     return labels
 
 
@@ -143,7 +143,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     backend = jax.default_backend()
     use_pallas = backend == "tpu"
-    method = os.environ.get("BENCH_NCUT_METHOD", "lobpcg")
+    method = os.environ.get("BENCH_NCUT_METHOD", "auto")
+    iters = int(os.environ.get("BENCH_LOBPCG_ITERS", "120"))
     log(f"backend={backend} pallas={use_pallas} method={method} "
         f"chunks={n_chunks} n={n_pts}")
 
@@ -152,12 +153,16 @@ def main():
     # warmup: compile every program shape on a small prefix
     log("warmup (compilation)...")
     t0 = time.perf_counter()
-    tpu_run(chunks[:2], use_pallas, method)
+    tpu_run(chunks[:2], use_pallas, method, iters)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
+    from autoinst_tpu.ncuts.solver import STATS
+    for k in STATS:
+        STATS[k] = 0
     t0 = time.perf_counter()
-    labels = tpu_run(chunks, use_pallas, method)
+    labels = tpu_run(chunks, use_pallas, method, iters)
     tpu_dt = time.perf_counter() - t0
+    log(f"solver stats: {STATS}")
     tpu_rate = n_chunks / tpu_dt
     n_instances = [len(np.unique(l)) for l in labels]
     log(f"tpu: {tpu_dt:.2f}s for {n_chunks} chunks -> "

@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Micro-benchmark of NCut solver pieces on the current backend: affinity
-kernel, eigh vs LOBPCG per bucket, end-to-end worklist. Guides the method
-thresholds in ncuts/solver.py."""
+"""Focused micro-benchmark: one configuration per invocation (remote compile
+is expensive; run repeatedly with env knobs, compile cache persists).
+
+MB_WHAT: affinity | solve | e2e    MB_BUCKET, MB_BATCH, MB_METHOD, MB_ITERS
+"""
 
 import os
 import sys
@@ -14,57 +16,66 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/autoinst_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from autoinst_tpu.ops.affinity import affinity_pallas, affinity_xla
-from autoinst_tpu.ops import eigen
 from autoinst_tpu.ncuts import solver
 from bench import synth_chunk
 
 
 def timeit(fn, *args, reps=3, **kw):
+    t0 = time.perf_counter()
     out = fn(*args, **kw)
     jax.block_until_ready(out)
+    compile_dt = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args, **kw)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps
+    return (time.perf_counter() - t0) / reps, compile_dt
 
 
 def main():
-    backend = jax.default_backend()
-    print("backend:", backend, flush=True)
+    what = os.environ.get("MB_WHAT", "solve")
+    bucket = int(os.environ.get("MB_BUCKET", "4096"))
+    bsz = int(os.environ.get("MB_BATCH", "8"))
+    method = os.environ.get("MB_METHOD", "lobpcg")
+    iters = int(os.environ.get("MB_ITERS", "150"))
+    print("backend:", jax.default_backend(), flush=True)
+
     pts, feats = synth_chunk(0, 4096)
     valid = jnp.ones((4096,), bool)
 
-    if backend == "tpu":
-        dt = timeit(affinity_pallas, jnp.asarray(pts), valid,
-                    tarl=jnp.asarray(feats), alpha=1.0, theta=0.5)
-        print(f"affinity_pallas 4096: {dt*1e3:.1f} ms", flush=True)
-    dt = timeit(affinity_xla, jnp.asarray(pts), valid,
-                tarl=jnp.asarray(feats), alpha=1.0, theta=0.5)
-    print(f"affinity_xla    4096: {dt*1e3:.1f} ms", flush=True)
+    if what == "affinity":
+        fn = affinity_pallas if jax.default_backend() == "tpu" else affinity_xla
+        dt, cdt = timeit(fn, jnp.asarray(pts), valid,
+                         tarl=jnp.asarray(feats), alpha=1.0, theta=0.5)
+        print(f"affinity 4096: {dt*1e3:.1f} ms (compile {cdt:.1f}s)")
+        return
 
-    W = np.asarray(affinity_xla(jnp.asarray(pts), valid,
-                                tarl=jnp.asarray(feats), alpha=1.0, theta=0.5))
+    W = affinity_xla(jnp.asarray(pts), valid, tarl=jnp.asarray(feats),
+                     alpha=1.0, theta=0.5)
+    W = jnp.asarray(np.asarray(W))
 
-    for bucket in (128, 256, 512, 1024, 2048, 4096):
-        for bsz in (8,):
-            Ws = jnp.asarray(np.stack(
-                [W[:bucket, :bucket]] * 1))
-            cid = jnp.zeros((bsz,), jnp.int32)
-            idx = jnp.tile(jnp.arange(bucket, dtype=jnp.int32)[None], (bsz, 1))
-            val = jnp.ones((bsz, bucket), bool)
-            for method, iters in (("eigh", 0), ("lobpcg", 150),
-                                  ("lobpcg", 60)):
-                try:
-                    dt = timeit(solver._solve_batch, Ws, cid, idx, val,
-                                method, iters, reps=2)
-                    print(f"bucket {bucket:5d} x{bsz} {method}[{iters}]: "
-                          f"{dt*1e3:8.1f} ms", flush=True)
-                except Exception as e:
-                    print(f"bucket {bucket} {method}: FAIL {e}", flush=True)
+    if what == "solve":
+        Ws = W[None, :bucket, :bucket]
+        cid = jnp.zeros((bsz,), jnp.int32)
+        idx = jnp.tile(jnp.arange(bucket, dtype=jnp.int32)[None], (bsz, 1))
+        val = jnp.ones((bsz, bucket), bool)
+        dt, cdt = timeit(solver._solve_batch, Ws, cid, idx, val, method,
+                         iters, reps=2)
+        print(f"solve bucket={bucket} x{bsz} {method}[{iters}]: "
+              f"{dt*1e3:.1f} ms/call, {dt/bsz*1e3:.1f} ms/item "
+              f"(compile {cdt:.1f}s)")
+        return
+
+    if what == "e2e":
+        t0 = time.perf_counter()
+        labels = solver.recursive_ncut(W, 4096, T=0.03, method=method,
+                                       lobpcg_iters=iters)
+        print(f"e2e chunk: {time.perf_counter()-t0:.2f}s, "
+              f"{len(np.unique(labels))} instances")
 
 
 if __name__ == "__main__":

@@ -34,9 +34,36 @@ def _box_points(rng, center, size, n):
     return center + rng.uniform(-0.5, 0.5, size=(n, 3)) * size
 
 
+def generate_camera_data(root, n_scans, img_w=128, img_h=40,
+                         dino_dim=384, n_sam_masks=3, seed=1):
+    """Synthetic cam2 images + DINOv2 feature maps + SAM masks in the
+    reader's on-disk cache layout."""
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    img_dir = os.path.join(root, "sequences", "00", "image_2")
+    dino_dir = os.path.join(root, "dinov2_features", "00", "image_2")
+    sam_dir = os.path.join(root, "sam_pred_underseg", "00", "image_2")
+    for d in (img_dir, dino_dir, sam_dir):
+        os.makedirs(d, exist_ok=True)
+    fh, fw = img_h // 7, img_w // 7
+    for s in range(n_scans):
+        arr = rng.integers(0, 255, size=(img_h, img_w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, f"{s:06d}.png"))
+        fmap = rng.normal(size=(fh, fw, dino_dim)).astype(np.float32)
+        np.savez(os.path.join(dino_dir, f"{s:06d}.npz"), feature_map=fmap)
+        masks = []
+        for m in range(n_sam_masks):
+            seg = np.zeros((img_h, img_w), bool)
+            x0 = (m * img_w) // n_sam_masks
+            seg[:, x0:x0 + img_w // n_sam_masks] = True
+            masks.append({"segmentation": seg})
+        np.savez(os.path.join(sam_dir, f"{s:06d}.npz"),
+                 masks=np.array(masks, dtype=object))
+
+
 def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
                       ground_points=2400, seed=0, n_objects=4,
-                      with_moving=True, tarl=True):
+                      with_moving=True, tarl=True, cams=False):
     """Write sequence 00 under `root`. Returns (poses_velo, objects)."""
     rng = np.random.default_rng(seed)
     seq = os.path.join(root, "sequences", "00")
@@ -51,22 +78,29 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
 
     objects = make_scene_objects(rng, n_objects=n_objects)
 
-    # identity-rotation calibration; Tr shifts velodyne slightly from cam0
+    # KITTI-style velodyne->camera axis permutation (cam z = velo x,
+    # cam x = -velo y, cam y = -velo z) + a small mount offset; intrinsics
+    # sized for the synthetic 128x40 camera images
+    Tr = np.eye(4)
+    Tr[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], float)
+    Tr[:3, 3] = [0.0, -0.08, 0.0]
     with open(os.path.join(seq, "calib.txt"), "w") as fh:
-        P = "7.070912e+02 0.0 6.018873e+02 0.0 0.0 7.070912e+02 " \
-            "1.831104e+02 0.0 0.0 0.0 1.0 0.0"
+        P = "100.0 0.0 64.0 0.0 0.0 100.0 20.0 0.0 0.0 0.0 1.0 0.0"
         for i in range(4):
             fh.write(f"P{i}: {P}\n")
-        fh.write("Tr: 1 0 0 0.0  0 1 0 0.0  0 0 1 -0.08\n")
+        fh.write("Tr: " + " ".join(str(v) for v in Tr[:3, :4].ravel())
+                 + "\n")
 
     poses_cam = []
     poses_velo = []
+    Tr_inv = np.linalg.inv(Tr)
     for s in range(n_scans):
         t = np.array([s * step, 0.0, 0.0])
         T = np.eye(4)
         T[:3, 3] = t
-        poses_cam.append(T)
-        poses_velo.append(T)  # Tr has identity rotation => same rotation
+        poses_velo.append(T)
+        # reader reconstructs T_w_velo = Tr^-1 @ T_w_cam0 @ Tr
+        poses_cam.append(Tr @ T @ Tr_inv)
 
         # ground: annulus 3..20 m around the sensor in world frame
         ang = rng.uniform(0, 2 * np.pi, ground_points)
@@ -119,6 +153,9 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
                 feats[insts == oid + 1, oid + 1] = 1.0
             with open(os.path.join(tarl_dir, f"{s:06d}.bin"), "wb") as fh:
                 fh.write(zlib.compress(feats.tobytes()))
+
+    if cams:
+        generate_camera_data(root, n_scans)
 
     # cam0 poses file (world = cam frame of scan 0 here)
     with open(os.path.join(root, "poses", "00.txt"), "w") as fh:
