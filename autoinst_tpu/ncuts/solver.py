@@ -32,7 +32,11 @@ import jax.numpy as jnp
 
 from autoinst_tpu.ops import eigen
 
-_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+# coarse bucket ladder: every distinct (bucket, batch) shape costs seconds
+# of (remote) compilation, so keep the shape space tiny; padding waste in
+# the gathered submatrices is cheap next to that
+_BUCKETS = (256, 1024, 4096, 8192, 16384)
+_MAX_BATCH_POW2 = 32
 # cap on simultaneously-resident gathered submatrix elements (f32)
 _MAX_BATCH_ELEMS = 1 << 26
 
@@ -157,7 +161,8 @@ def recursive_ncut_batch(W: jax.Array, num_valids, T: float = 0.03,
         STATS["rounds"] += 1
         for bucket, items in sorted(by_bucket.items()):
             m = _auto_method(bucket) if method == "auto" else method
-            max_batch = max(1, _MAX_BATCH_ELEMS // (bucket * bucket))
+            max_batch = max(1, min(_MAX_BATCH_ELEMS // (bucket * bucket),
+                                   _MAX_BATCH_POW2))
             for lo in range(0, len(items), max_batch):
                 batch = items[lo:lo + max_batch]
                 bsz = len(batch)
@@ -207,3 +212,27 @@ def recursive_ncut(W: jax.Array, num_valid: int, T: float = 0.03,
     return recursive_ncut_batch(W[None], [num_valid], T=T,
                                 split_lim=split_lim, method=method,
                                 lobpcg_iters=lobpcg_iters)[0]
+
+
+def warmup_shapes(W: jax.Array, method: str = "auto",
+                  lobpcg_iters: int = 150, max_bucket: int | None = None):
+    """Pre-compile every (bucket, batch) solve shape for the given chunk
+    stack so timed runs never hit the multi-second per-shape compile."""
+    n = W.shape[1]
+    max_bucket = max_bucket or n
+    for bucket in _BUCKETS:
+        if bucket > max_bucket:
+            break
+        m = _auto_method(bucket) if method == "auto" else method
+        cap = max(1, min(_MAX_BATCH_ELEMS // (bucket * bucket),
+                         _MAX_BATCH_POW2))
+        b = 1
+        while True:
+            cids = jnp.zeros((b,), jnp.int32)
+            idx = jnp.zeros((b, bucket), jnp.int32)
+            val = jnp.zeros((b, bucket), bool).at[:, :3].set(True)
+            jax.block_until_ready(
+                _solve_batch(W, cids, idx, val, m, lobpcg_iters))
+            if b >= cap:
+                break
+            b = min(b * 2, 1 << (cap - 1).bit_length())

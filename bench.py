@@ -150,10 +150,14 @@ def main():
 
     chunks = [synth_chunk(s, n_pts) for s in range(n_chunks)]
 
-    # warmup: compile every program shape on a small prefix
+    # warmup: pre-compile every solver shape + the affinity kernel
     log("warmup (compilation)...")
     t0 = time.perf_counter()
-    tpu_run(chunks[:2], use_pallas, method, iters)
+    import jax.numpy as jnp
+    from autoinst_tpu.ncuts.solver import warmup_shapes
+    dummyW = jnp.zeros((1, n_pts, n_pts), jnp.float32)
+    warmup_shapes(dummyW, method=method, lobpcg_iters=iters)
+    tpu_run(chunks[:1], use_pallas, method, iters)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     from autoinst_tpu.ncuts.solver import STATS

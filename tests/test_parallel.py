@@ -1,0 +1,54 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autoinst_tpu.parallel import make_mesh, fiedler_sharded, shard_leading
+from autoinst_tpu.ops import eigen
+
+from oracles import affinity_oracle
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+
+def test_fiedler_sharded_matches_single_device():
+    n = 96
+    Ws, valids = [], []
+    for seed in range(8):
+        # connected geometric graph => simple (unique) Fiedler eigenpair
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(0, 2.0, size=(n - 10, 3)).astype(np.float32)
+        w = affinity_oracle(pts).astype(np.float32)
+        wp = np.zeros((n, n), np.float32)
+        wp[:len(w), :len(w)] = w
+        v = np.zeros(n, bool)
+        v[:len(w)] = True
+        Ws.append(wp)
+        valids.append(v)
+    Ws = jnp.asarray(np.stack(Ws))
+    valids = jnp.asarray(np.stack(valids))
+
+    mesh = make_mesh(data=8, model=1)
+    ev_sharded, lam_sharded = fiedler_sharded(Ws, valids, mesh, iters=100)
+    assert len(ev_sharded.sharding.device_set) == 8
+
+    for i in range(8):
+        ev1, lam1 = eigen.fiedler_lobpcg(Ws[i], valids[i], iters=100)
+        e_a, e_b = np.asarray(ev_sharded[i]), np.asarray(ev1)
+        corr = abs(np.dot(e_a, e_b)
+                   / max(np.linalg.norm(e_a) * np.linalg.norm(e_b), 1e-30))
+        assert corr > 0.999, (i, corr)
+        assert abs(float(lam_sharded[i]) - float(lam1)) < 1e-4
+
+
+def test_shard_leading_distributes():
+    mesh = make_mesh(data=8, model=1)
+    x = jnp.zeros((16, 4, 4))
+    xs = shard_leading(x, mesh)
+    assert len(xs.sharding.device_set) == 8
