@@ -75,13 +75,19 @@ def build_plan(coords_int: np.ndarray, v0: int, num_levels: int = 5
     origin = coords_int.min(axis=0)
     coords_int = coords_int - origin  # nonnegative
 
+    def budget(nominal, count):
+        # auto-bump to the next power of two when occupancy beats the
+        # nominal halving schedule (sparse uniform clouds merge slowly)
+        b = max(nominal, 64)
+        while b < count:
+            b *= 2
+        return b
+
     levels = []
     cur, point_voxel = np.unique(coords_int, axis=0, return_inverse=True)
     pv = point_voxel
     for lvl in range(num_levels):
-        v = max(v0 >> lvl, 64)
-        if len(cur) > v:
-            raise ValueError(f"level {lvl}: {len(cur)} voxels > budget {v}")
+        v = budget(v0 >> lvl, len(cur))
         dims = cur.max(axis=0) + 2
         keys = _keys(cur, dims)
         order = np.argsort(keys)
@@ -102,9 +108,7 @@ def build_plan(coords_int: np.ndarray, v0: int, num_levels: int = 5
 
         if lvl + 1 < num_levels:
             nxt, parent = np.unique(cur // 2, axis=0, return_inverse=True)
-            v_next = max(v0 >> (lvl + 1), 64)
-            if len(nxt) > v_next:
-                raise ValueError(f"level {lvl+1}: {len(nxt)} > {v_next}")
+            v_next = budget(v0 >> (lvl + 1), len(nxt))
             # children map: for each next-level voxel, its 8 fine voxels
             child = np.full((len(nxt), 8), v, np.int64)
             rel = cur - nxt[parent] * 2                 # (0|1)^3 per voxel
@@ -199,25 +203,49 @@ def plans_to_batch(plans: list, points_list: list, feats_list: list,
     """
     B = len(plans)
     num_levels = len(plans[0].levels)
+
+    def repad(a, width, fill):
+        out = np.full((width,) + a.shape[1:], fill, a.dtype)
+        out[:len(a)] = a
+        return out
+
+    widths = [max(p.levels[l].coords.shape[0] for p in plans)
+              for l in range(num_levels)]
     levels = []
     for l in range(num_levels):
-        v = plans[0].levels[l].coords.shape[0]
+        v = widths[l]
+        nbr3 = []
+        for p in plans:
+            old_v = p.levels[l].coords.shape[0]
+            n = p.levels[l].nbr3.copy()
+            n[n == old_v] = v  # remap sentinel to the batch-padded width
+            nbr3.append(repad(n, v, v))
         entry = {
-            "nbr3": np.stack([p.levels[l].nbr3 for p in plans]),
+            "nbr3": np.stack(nbr3),
             "valid": np.stack([
                 np.arange(v) < p.levels[l].num for p in plans]),
             "coords": np.stack([
-                (p.levels[l].coords * (2 ** l) + p.origin) * res
-                for p in plans]).astype(np.float32),
+                repad((p.levels[l].coords * (2 ** l) + p.origin) * res,
+                      v, 0.0) for p in plans]).astype(np.float32),
         }
         if plans[0].levels[l].child is not None:
-            entry["child"] = np.stack([p.levels[l].child for p in plans])
-            entry["parent"] = np.stack([p.levels[l].parent for p in plans])
-            entry["parent_off"] = np.stack(
-                [p.levels[l].parent_off for p in plans])
+            vn = widths[l + 1]
+            child, parent, poff = [], [], []
+            for p in plans:
+                old_v = p.levels[l].coords.shape[0]
+                c = p.levels[l].child.copy()
+                c[c == old_v] = v
+                child.append(repad(c, vn, v))
+                # parent fill rows point at padded (zero-feature) coarse rows
+                parent.append(repad(p.levels[l].parent, v,
+                                    p.levels[l].parent.max(initial=0)))
+                poff.append(repad(p.levels[l].parent_off, v, 0))
+            entry["child"] = np.stack(child)
+            entry["parent"] = np.stack(parent)
+            entry["parent_off"] = np.stack(poff)
         levels.append(entry)
 
-    v0 = plans[0].levels[0].coords.shape[0]
+    v0 = widths[0]
     fdim = feats_list[0].shape[1]
     pt_coords = np.zeros((B, n_points, 3), np.float32)
     pt_feats = np.zeros((B, n_points, fdim), np.float32)

@@ -1,0 +1,240 @@
+"""Fully device-resident recursive normalized cuts (tiered worklist).
+
+The host worklist (solver.py) pays one device dispatch per (bucket, batch)
+group per recursion level; over a tunneled/remote device, chain depth x
+link RTT dominates. This variant keeps the ENTIRE recursion on device: a
+jit-compiled lax.while_loop owns fixed-capacity node queues -- one per size
+tier, so small subgraphs are solved at small padded sizes (the bucketing
+economics of the host version are preserved) -- and processes a batch of
+nodes from every tier per iteration. One dispatch clusters a whole batch of
+chunks; only the final label arrays leave the chip.
+
+Semantics match solver.py / the reference recursion
+(normalized_cut.py:37-63): same entry guards, Fiedler solve, 10-threshold
+sweep, and split rule. Node processing order differs (per-tier FIFO), which
+only permutes final label ids.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autoinst_tpu.ops import eigen
+from autoinst_tpu.ncuts.solver import ncut_threshold_sweep
+
+# (tier width, nodes solved per iteration, queue capacity)
+_TIERS = ((256, 32, 8192), (1024, 8, 2048), (4096, 8, 512),
+          (16384, 2, 128))
+
+
+def _tiers_for(n: int):
+    out = [t for t in _TIERS if t[0] < n]
+    # top tier exactly n
+    for width, nb, cap in _TIERS:
+        if width >= n:
+            out.append((n, nb, cap))
+            break
+    else:
+        raise ValueError(f"chunk size {n} exceeds the largest tier")
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("T", "split_lim", "iters", "tiers"))
+def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
+                 split_lim: float, iters: int, tiers: tuple):
+    C, N, _ = W.shape
+    n_tiers = len(tiers)
+
+    q_idx = [jnp.zeros((cap, width), jnp.int32) for width, _, cap in tiers]
+    q_size = [jnp.zeros((cap,), jnp.int32) for _, _, cap in tiers]
+    q_chunk = [jnp.zeros((cap,), jnp.int32) for _, _, cap in tiers]
+    heads = [jnp.int32(0) for _ in tiers]
+    tails = [jnp.int32(0) for _ in tiers]
+    labels = jnp.zeros((C, N), jnp.int32)
+    counters = jnp.zeros((C,), jnp.int32)
+    overflow = jnp.zeros((), jnp.int32)
+
+    # seed roots into the top tier
+    top = n_tiers - 1
+    top_width = tiers[top][0]
+    for c in range(C):
+        q_idx[top] = q_idx[top].at[c].set(
+            jnp.arange(top_width, dtype=jnp.int32))
+        q_size[top] = q_size[top].at[c].set(num_valids[c])
+        q_chunk[top] = q_chunk[top].at[c].set(c)
+    tails[top] = jnp.int32(C)
+
+    def admissible(chunk, size):
+        return (size > 2) & (size.astype(jnp.float32)
+                             / (num_valids[chunk].astype(jnp.float32) + 1e-8)
+                             > split_lim)
+
+    def pack(q_idx, q_size, q_chunk, heads, tails, labels, counters,
+             overflow):
+        return (*q_idx, *q_size, *q_chunk, *heads, *tails, labels, counters,
+                overflow)
+
+    def unpack(state):
+        k = n_tiers
+        return (list(state[0:k]), list(state[k:2 * k]),
+                list(state[2 * k:3 * k]), list(state[3 * k:4 * k]),
+                list(state[4 * k:5 * k]), state[5 * k], state[5 * k + 1],
+                state[5 * k + 2])
+
+    def solve_tier(width, chunks, idxs, sizes):
+        iota_w = jnp.arange(width, dtype=jnp.int32)
+
+        def one(chunk, idx, size):
+            valid = iota_w < size
+            sub = W[chunk][idx][:, idx]
+            sub = sub * valid[:, None] * valid[None, :]
+            ev, _ = eigen.fiedler_lobpcg(sub, valid, iters=iters)
+            return ncut_threshold_sweep(sub, valid, ev)
+
+        return jax.vmap(one)(chunks, idxs, sizes)
+
+    def body(state):
+        q_idx, q_size, q_chunk, heads, tails, labels, counters, overflow = \
+            unpack(state)
+
+        def make_tier(t):
+            width, nb, cap = tiers[t]
+
+            def process(state):
+                return _process_tier(state, t)
+
+            return process
+
+        def _process_tier(state, t):
+            q_idx, q_size, q_chunk, heads, tails, labels, counters, \
+                overflow = unpack(state)
+            width, nb, cap = tiers[t]
+            iota_w = jnp.arange(width, dtype=jnp.int32)
+            n_proc = jnp.minimum(tails[t] - heads[t], nb)
+            slots = heads[t] + jnp.arange(nb, dtype=jnp.int32)
+            active = jnp.arange(nb) < n_proc
+            slots_c = jnp.where(active, slots % cap, 0)
+
+            chunks = q_chunk[t][slots_c]
+            idxs = q_idx[t][slots_c]
+            sizes = jnp.where(active, q_size[t][slots_c], 3)
+
+            masks, mcuts = solve_tier(width, chunks, idxs, sizes)
+
+            def handle(i, st):
+                (q_idx, q_size, q_chunk, tails, labels, counters,
+                 overflow) = st
+                chunk = chunks[i]
+                idx = idxs[i]
+                size = sizes[i]
+                valid = iota_w < size
+                sel = masks[i] & valid
+                na = jnp.sum(sel).astype(jnp.int32)
+                nb_ = size - na
+                want_split = active[i] & (mcuts[i] < T)
+
+                order_a = jnp.argsort(jnp.where(sel, 0, 1), stable=True)
+                order_b = jnp.argsort(jnp.where(valid & ~sel, 0, 1),
+                                      stable=True)
+                idx_a = idx[order_a]
+                idx_b = idx[order_b]
+
+                def finalize(st, side_idx, side_n, enabled):
+                    (q_idx, q_size, q_chunk, tails, labels, counters,
+                     overflow) = st
+                    lab = counters[chunk]
+                    member = iota_w < side_n
+                    upd = jnp.where(member & enabled, lab,
+                                    labels[chunk][side_idx])
+                    labels = labels.at[chunk, side_idx].set(upd)
+                    counters = counters.at[chunk].add(
+                        jnp.where(enabled, 1, 0))
+                    return (q_idx, q_size, q_chunk, tails, labels, counters,
+                            overflow)
+
+                def push(st, side_idx, side_n, enabled):
+                    # destination tier: smallest width >= side_n
+                    (q_idx, q_size, q_chunk, tails, labels, counters,
+                     overflow) = st
+                    for k in range(t + 1):  # children never grow
+                        wk, _, capk = tiers[k]
+                        if k == 0:
+                            dest = wk >= side_n
+                        else:
+                            dest = (wk >= side_n) & (tiers[k - 1][0] < side_n)
+                        # ring buffer: full only when `cap` nodes PENDING
+                        # (heads[k] captured from the enclosing tier loop)
+                        full = (tails[k] - heads[k]) >= capk
+                        en = enabled & dest & ~full
+                        overflow = overflow + jnp.where(
+                            enabled & dest & full, 1, 0)
+                        pos = jnp.where(en, tails[k] % capk, capk - 1)
+                        child = side_idx[:wk]
+                        q_idx[k] = jax.lax.cond(
+                            en,
+                            lambda q, c=child, p=pos: q.at[p].set(c),
+                            lambda q: q, q_idx[k])
+                        q_size[k] = q_size[k].at[pos].set(
+                            jnp.where(en, side_n, q_size[k][pos]))
+                        q_chunk[k] = q_chunk[k].at[pos].set(
+                            jnp.where(en, chunk, q_chunk[k][pos]))
+                        tails[k] = tails[k] + jnp.where(en, 1, 0)
+                    return (q_idx, q_size, q_chunk, tails, labels, counters,
+                            overflow)
+
+                for side_idx, side_n in ((idx_a, na), (idx_b, nb_)):
+                    adm = admissible(chunk, side_n)
+                    st = finalize(st, side_idx, side_n,
+                                  want_split & ~adm)
+                    st = push(st, side_idx, side_n, want_split & adm)
+                st = finalize(st, idx, size, active[i] & ~want_split)
+                return st
+
+            st = (q_idx, q_size, q_chunk, tails, labels, counters, overflow)
+            st = jax.lax.fori_loop(0, nb, handle, st)
+            (q_idx, q_size, q_chunk, tails, labels, counters, overflow) = st
+            heads[t] = heads[t] + n_proc
+            return pack(q_idx, q_size, q_chunk, heads, tails, labels,
+                        counters, overflow)
+
+        # skip empty tiers entirely: without the cond, an idle tier would
+        # still pay its full vmapped solve on dummy slots every iteration
+        for t in range(len(tiers)):
+            _, _, _, heads, tails, _, _, _ = unpack(state)
+            state = jax.lax.cond(tails[t] > heads[t], make_tier(t),
+                                 lambda s: s, state)
+        return state
+
+    def cond(state):
+        _, _, _, heads, tails, _, _, _ = unpack(state)
+        pending = heads[0] < tails[0]
+        for t in range(1, n_tiers):
+            pending = pending | (heads[t] < tails[t])
+        return pending
+
+    state = pack(q_idx, q_size, q_chunk, heads, tails, labels, counters,
+                 overflow)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, _, _, labels, counters, overflow = unpack(state)
+    return labels, counters, overflow
+
+
+def recursive_ncut_device(W: jax.Array, num_valids, T: float = 0.03,
+                          split_lim: float = 0.01, iters: int = 120
+                          ) -> list[np.ndarray]:
+    """Device-resident equivalent of solver.recursive_ncut_batch (one
+    dispatch per chunk batch). Raises on node-queue overflow."""
+    num_valids = np.atleast_1d(np.asarray(num_valids, np.int32))
+    tiers = _tiers_for(W.shape[1])
+    labels, counters, overflow = _device_ncut(
+        W, jnp.asarray(num_valids), float(T), float(split_lim), int(iters),
+        tiers)
+    if int(overflow) > 0:
+        raise RuntimeError(f"device NCut queue overflow ({int(overflow)} "
+                           f"nodes); raise tier capacities")
+    labels = np.asarray(labels)
+    return [labels[c, :n] for c, n in enumerate(num_valids)]

@@ -127,6 +127,16 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
 
     Ws = jnp.stack([build(p, f) for p, f in chunks])
     Ws.block_until_ready()
+    if os.environ.get("BENCH_SOLVER", "device") == "device" \
+            and jax.default_backend() == "tpu":
+        from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
+        group = int(os.environ.get("BENCH_DEVICE_GROUP", "8"))
+        out = []
+        for lo in range(0, len(chunks), group):
+            out += recursive_ncut_device(Ws[lo:lo + group],
+                                         [n] * len(chunks[lo:lo + group]),
+                                         T=T_NCUT, iters=iters)
+        return out
     labels = recursive_ncut_batch(Ws, [n] * len(chunks), T=T_NCUT,
                                   method=method, lobpcg_iters=iters)
     return labels
@@ -153,11 +163,14 @@ def main():
     # warmup: pre-compile every solver shape + the affinity kernel
     log("warmup (compilation)...")
     t0 = time.perf_counter()
-    import jax.numpy as jnp
-    from autoinst_tpu.ncuts.solver import warmup_shapes
-    dummyW = jnp.zeros((1, n_pts, n_pts), jnp.float32)
-    warmup_shapes(dummyW, method=method, lobpcg_iters=iters)
-    tpu_run(chunks[:1], use_pallas, method, iters)
+    if os.environ.get("BENCH_SOLVER", "device") != "device" \
+            or backend != "tpu":
+        import jax.numpy as jnp
+        from autoinst_tpu.ncuts.solver import warmup_shapes
+        dummyW = jnp.zeros((1, n_pts, n_pts), jnp.float32)
+        warmup_shapes(dummyW, method=method, lobpcg_iters=iters)
+    tpu_run(chunks[:int(os.environ.get("BENCH_DEVICE_GROUP", "8"))],
+            use_pallas, method, iters)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     from autoinst_tpu.ncuts.solver import STATS

@@ -1,0 +1,57 @@
+"""Device-resident NCut worklist vs the host worklist (same partitions)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
+from autoinst_tpu.ncuts.solver import recursive_ncut_batch
+
+from oracles import affinity_oracle, partition_sets, clustered_points
+
+
+def _pad(w, n):
+    wp = np.zeros((n, n), np.float32)
+    wp[:len(w), :len(w)] = w
+    return wp
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_host_worklist(seed):
+    # a batch of two chunks with different sizes
+    Ws, nums = [], []
+    for s in (seed, seed + 10):
+        pts, _ = clustered_points(seed=s, n_per=40)
+        w = affinity_oracle(pts).astype(np.float32)
+        Ws.append(_pad(w, 256))
+        nums.append(len(w))
+    Ws = jnp.asarray(np.stack(Ws))
+
+    host = recursive_ncut_batch(Ws, nums, T=0.075, method="lobpcg",
+                                lobpcg_iters=100)
+    dev = recursive_ncut_device(Ws, nums, T=0.075, iters=100)
+    for h, d in zip(host, dev):
+        assert partition_sets(h) == partition_sets(d)
+
+
+def test_no_split_single_cluster():
+    pts, _ = clustered_points(seed=3, centers=((0, 0, 0),), n_per=60)
+    w = affinity_oracle(pts).astype(np.float32)
+    Ws = jnp.asarray(_pad(w, 256)[None])
+    dev = recursive_ncut_device(Ws, [len(w)], T=1e-9)
+    assert len(np.unique(dev[0])) == 1
+
+
+def test_multitier_path():
+    # a chunk large enough to start above the smallest tier
+    rng = np.random.default_rng(4)
+    blobs = [rng.normal(scale=0.25, size=(90, 3)) + c
+             for c in ([0, 0, 0], [4, 0, 0], [0, 4, 0], [4, 4, 0])]
+    pts = np.concatenate(blobs).astype(np.float32)
+    w = affinity_oracle(pts).astype(np.float32)
+    Ws = jnp.asarray(_pad(w, 1024)[None])
+    host = recursive_ncut_batch(Ws, [len(w)], T=0.075, method="lobpcg",
+                                lobpcg_iters=100)
+    dev = recursive_ncut_device(Ws, [len(w)], T=0.075, iters=100)
+    assert partition_sets(host[0]) == partition_sets(dev[0])
+    assert len(np.unique(dev[0])) == 4
