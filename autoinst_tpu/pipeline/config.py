@@ -87,7 +87,8 @@ class PipelineConfig:
     min_map_scans: int = 200    # skip smaller trailing maps
 
     # TPU execution knobs (no reference counterpart)
-    ncut_method: str = "auto"        # eigh | lobpcg | auto
+    ncut_method: str = "auto"        # eigh | lobpcg | auto (host worklist)
+    ncut_backend: str = "auto"       # device | host | auto (device on TPU)
     affinity_tile: int = 256
     use_pallas: bool | None = None   # None = auto (TPU yes, CPU no)
 

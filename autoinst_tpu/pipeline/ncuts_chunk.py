@@ -152,8 +152,17 @@ def ncuts_chunk(dataset, chunk_downsample_dict, pcd_nonground_minor,
     else:
         A, _ = chunk_affinity(points_major, cfg, tarl_features)
 
-    labels = recursive_ncut(A, num_points_major, T=weights["T"],
-                            split_lim=cfg.split_lim, method=cfg.ncut_method)
+    backend = getattr(cfg, "ncut_backend", "auto")
+    if backend == "device" or (backend == "auto"
+                               and jax.default_backend() == "tpu"):
+        from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
+        labels = recursive_ncut_device(A[None], [num_points_major],
+                                       T=weights["T"],
+                                       split_lim=cfg.split_lim)[0]
+    else:
+        labels = recursive_ncut(A, num_points_major, T=weights["T"],
+                                split_lim=cfg.split_lim,
+                                method=cfg.ncut_method)
 
     random_colors = generate_random_colors(600)
     pcd_color = np.zeros((num_points_major, 3))
