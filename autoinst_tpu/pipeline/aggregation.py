@@ -45,12 +45,10 @@ def aggregate_pointcloud(dataset, ind_start: int, ind_end: int,
     maps with per-scan label lists (reference aggregate_pointcloud.py:89-188).
 
     Returns (map_ground, map_nonground, poses, world_pose, labels_dict).
-    ICP refinement is not implemented (the reference defaults it off,
-    dataset_utils.py:149); requesting it raises.
+    With icp=True, each scan's pose is refined against the running map by
+    point-to-plane ICP (reference aggregate_pointcloud.py:141-159; off by
+    default there too, dataset_utils.py:149).
     """
-    if icp:
-        raise NotImplementedError("ICP registration is not implemented; the "
-                                  "reference pipeline runs with icp=False")
     if ground_segmentation is None:
         raise ValueError("the instance pipeline requires ground segmentation")
 
@@ -61,10 +59,21 @@ def aggregate_pointcloud(dataset, ind_start: int, ind_end: int,
                            "panoptic_nonground")}
     pts_ground, pts_nonground = [], []
 
+    icp_map: list = []  # downsampled running map for ICP refinement
     for i in range(ind_start, ind_end):
         entry = dataset[i]
         pose = dataset.get_pose(i)
         poses.append(pose)
+        transform = pose
+
+        if icp and i != ind_start and icp_map:
+            from autoinst_tpu.hostops import voxel_downsample_np
+            from autoinst_tpu.ops.registration import icp_point_to_plane
+            merged = np.concatenate(icp_map)
+            ref, _, _ = voxel_downsample_np(merged, 0.3)
+            transform = icp_point_to_plane(entry.point_cloud[:, :3], ref,
+                                           init=pose, max_distance=0.9,
+                                           max_iterations=20)
 
         g_idcs, ng_idcs = ground_split_indices(entry.point_cloud, ground_cfg)
 
@@ -75,9 +84,12 @@ def aggregate_pointcloud(dataset, ind_start: int, ind_end: int,
         acc["instance_ground"].append(entry.instance_labels[g_idcs].copy())
         acc["instance_nonground"].append(entry.instance_labels[ng_idcs].copy())
 
-        world = entry.point_cloud[:, :3] @ pose[:3, :3].T + pose[:3, 3]
+        world = entry.point_cloud[:, :3] @ transform[:3, :3].T \
+            + transform[:3, 3]
         pts_ground.append(world[g_idcs])
         pts_nonground.append(world[ng_idcs])
+        if icp:
+            icp_map.append(world)
 
     map_ground = PointCloud(np.concatenate(pts_ground))
     map_nonground = PointCloud(np.concatenate(pts_nonground))
