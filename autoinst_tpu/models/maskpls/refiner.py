@@ -42,8 +42,11 @@ class RefinerModel:
         from flax import serialization
         with open(path, "rb") as fh:
             raw = fh.read()
-        # template init to get the tree structure
+        # template init to get the tree structure (the training CLI exports
+        # {"params", "batch_stats"} via flax serialization)
         template = self._init_template()
+        template = {"params": template["params"],
+                    "batch_stats": template.get("batch_stats", {})}
         return serialization.from_bytes(template, raw)
 
     def _init_template(self):

@@ -115,6 +115,11 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
         if limit_steps and step >= limit_steps:
             break
     save_checkpoint(os.path.join(ckpt_dir, "maskpls_last.ckpt"), state)
+    # inference-weights export (the RefinerModel / pipeline contract)
+    from flax import serialization
+    with open(os.path.join(ckpt_dir, "maskpls_weights.msgpack"), "wb") as fh:
+        fh.write(serialization.to_bytes({"params": state.params,
+                                         "batch_stats": state.batch_stats}))
     return state
 
 

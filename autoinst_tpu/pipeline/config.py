@@ -81,6 +81,8 @@ class PipelineConfig:
     gen_self_train_data: bool = False
     test_map: bool = True  # stop after the first sample map
     maskpls_weights: str = os.environ.get("AUTOINST_MASKPLS_WEIGHTS", "")
+    maskpls_kwargs: dict = field(default_factory=dict)  # RefinerModel args
+    dataset_type: str = "kitti"      # kitti | nuscenes | pandaset
 
     out_folder: str = "pcd_preprocessed/instances/"
     map_scans: int = 1000       # scans per map (divide_indices chunk_size)

@@ -67,9 +67,21 @@ def run(cfg: PipelineConfig | None = None, dataset_factory=None):
         print("Sequence", seq)
         if dataset_factory is not None:
             dataset = dataset_factory(seq)
-        else:
+        elif cfg.dataset_type == "kitti":
             dataset = create_kitti_odometry_dataset(
                 cfg.dataset_path, seq, ncuts_mode=True)
+        elif cfg.dataset_type == "nuscenes":
+            from autoinst_tpu.datasets.nuscenes import (
+                NuScenesDatasetConfig, NuScenesOdometryDataset)
+            dataset = NuScenesOdometryDataset(
+                NuScenesDatasetConfig(dataset_path=cfg.dataset_path), seq)
+        elif cfg.dataset_type == "pandaset":
+            from autoinst_tpu.datasets.pandaset import (
+                PandasetDataset, PandasetDatasetConfig)
+            dataset = PandasetDataset(
+                PandasetDatasetConfig(dataset_path=cfg.dataset_path), seq)
+        else:
+            raise ValueError(f"unknown dataset_type {cfg.dataset_type}")
         chunks_idcs = divide_indices_into_chunks(len(dataset), cfg.map_scans)
 
         data_store_folder = cfg.out_folder + str(seq) + "/"
@@ -87,8 +99,9 @@ def run(cfg: PipelineConfig | None = None, dataset_factory=None):
             print("map scans", ind_start, "-", ind_end)
 
             if "maskpls" in weights["name"]:
-                maskpls = RefinerModel(dataset="kitti",
-                                       weights_path=cfg.maskpls_weights)
+                maskpls = RefinerModel(dataset=cfg.dataset_type,
+                                       weights_path=cfg.maskpls_weights,
+                                       **cfg.maskpls_kwargs)
 
             with stage_timer("stage1_aggregate"):
                 process_and_save_point_clouds(
@@ -207,12 +220,15 @@ def run(cfg: PipelineConfig | None = None, dataset_factory=None):
                 if maskpls is not None:
                     label_to_confidence = maskpls.label_to_conf(
                         merge_ncuts, instance_preds)
-                    out, aps = metrics.update_stats(
+                    # the reference computes confidence-weighted stats and
+                    # then immediately recomputes without confidences,
+                    # double-accumulating the P/R denominators
+                    # (run_pipeline.py:224-238); replicated for parity
+                    metrics.update_stats(
                         labels_ncuts_all, instance_preds, labels_instances,
                         confs=label_to_confidence)
-                else:
-                    out, aps = metrics.update_stats(
-                        labels_ncuts_all, instance_preds, labels_instances)
+                out, aps = metrics.update_stats(
+                    labels_ncuts_all, instance_preds, labels_instances)
             results[seq] = {"out": out, "aps": aps}
 
             if cfg.test_map:

@@ -61,3 +61,19 @@ class TestGround:
         pp, valid, n = _pad(pts)
         mask = np.asarray(estimate_ground(jnp.asarray(pp), jnp.asarray(valid)))
         assert not mask[n:].any()
+
+
+class TestNativeGround:
+    def test_native_matches_jax(self):
+        from autoinst_tpu.hostops.ground_native import ground_segment_native
+        pts, gt = synthetic_scan(seed=4)
+        mask_native = ground_segment_native(pts)
+        assert mask_native is not None, "C++ kernel must build here"
+        assert mask_native[gt].mean() > 0.9
+        assert gt[mask_native].mean() > 0.95
+
+        pp, valid, n = _pad(pts)
+        mask_jax = np.asarray(estimate_ground(jnp.asarray(pp),
+                                              jnp.asarray(valid)))[:n]
+        agree = (mask_native == mask_jax).mean()
+        assert agree > 0.97, agree
