@@ -1,0 +1,122 @@
+"""Batched per-map chunk processing: all chunk graphs of a map cluster in
+one device dispatch.
+
+The reference (and our run_pipeline default) processes chunks one at a time
+(run_pipeline.py:160-195). On TPU the NCut worklist is most efficient when
+many chunk graphs share the device-resident queue (idle batch slots in deep
+recursion chains get filled by other chunks' nodes), so this runner:
+
+  1. builds all chunk affinities (Pallas) into one padded [C, N, N] stack,
+  2. clusters every chunk in a single recursive_ncut_device dispatch,
+  3. reprojects labels / assembles per-chunk outputs exactly like
+     ncuts_chunk.
+
+Drop-in: produces the same per-chunk tuples as pipeline.ncuts_chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
+from autoinst_tpu.ncuts.solver import recursive_ncut_batch
+from autoinst_tpu.pipeline.chunking import (get_indices_feature_reprojection,
+                                            statistical_inlier_indices,
+                                            tarl_features_per_patch)
+from autoinst_tpu.pipeline.ncuts_chunk import (chunk_affinity,
+                                               kdtree_1nn_reprojection)
+from autoinst_tpu.utils.colors import generate_random_colors
+from autoinst_tpu.utils.pointcloud import PointCloud
+
+
+def ncuts_chunks_batched(dataset, chunk_downsample_dict, pcd_nonground_minor,
+                         T_pcd, sampled_indices_global, cfg,
+                         patchwise_indices=None, group: int = 16):
+    """Segment ALL chunks of a map; yields per-chunk tuples in order:
+    (merged_chunk, pcd_chunk, cut_ground, inst_ground, seg_ground)."""
+    weights = cfg.config
+    n_chunks = len(chunk_downsample_dict["center_ids"])
+
+    # phase 1: affinities for every chunk (device, sequential Pallas calls)
+    As, nums = [], []
+    max_pad = 0
+    for sequence in range(n_chunks):
+        chunk_major = chunk_downsample_dict[
+            "pcd_nonground_chunks_major_downsampling"][sequence]
+        points_major = np.asarray(chunk_major.points, np.float32)
+        tarl_features = None
+        if weights["theta"]:
+            center_id = chunk_downsample_dict["center_ids"][sequence]
+            center_position = chunk_downsample_dict["center_positions"][
+                sequence]
+            tarl_idx, _ = get_indices_feature_reprojection(
+                sampled_indices_global, center_id,
+                adjacent_frames=cfg.adjacent_frames_tarl)
+            tarl_features = tarl_features_per_patch(
+                dataset, chunk_major, T_pcd, center_position, tarl_idx,
+                cfg.chunk_size, search_radius=cfg.major_voxel_size / 2.0,
+                norm=cfg.tarl_norm)
+        A, n = chunk_affinity(points_major, cfg, tarl_features)
+        As.append(A)
+        nums.append(n)
+        max_pad = max(max_pad, A.shape[0])
+
+    # phase 2: one (grouped) device dispatch for all chunk graphs
+    labels_all = [None] * n_chunks
+    order = sorted(range(n_chunks), key=lambda i: As[i].shape[0])
+    for lo in range(0, n_chunks, group):
+        idxs = order[lo:lo + group]
+        width = max(As[i].shape[0] for i in idxs)
+        stack = np.zeros((len(idxs), width, width), np.float32)
+        for j, i in enumerate(idxs):
+            a = np.asarray(As[i])
+            stack[j, :a.shape[0], :a.shape[1]] = a
+        if jax.default_backend() == "tpu" and getattr(
+                cfg, "ncut_backend", "auto") in ("auto", "device"):
+            labs = recursive_ncut_device(
+                jnp.asarray(stack), [nums[i] for i in idxs],
+                T=weights["T"], split_lim=cfg.split_lim)
+        else:
+            labs = recursive_ncut_batch(
+                jnp.asarray(stack), [nums[i] for i in idxs],
+                T=weights["T"], split_lim=cfg.split_lim,
+                method=cfg.ncut_method)
+        for j, i in enumerate(idxs):
+            labels_all[i] = labs[j]
+
+    # phase 3: per-chunk label reprojection + ground assembly (host)
+    for sequence in range(n_chunks):
+        # fresh palette per chunk (advancing the global RNG like the
+        # sequential path, ncuts_utils.py:177) so colors never collide
+        # across chunks before the merge association
+        random_colors = generate_random_colors(600)
+        labels = labels_all[sequence]
+        chunk_major = chunk_downsample_dict[
+            "pcd_nonground_chunks_major_downsampling"][sequence]
+        pcd_chunk = chunk_downsample_dict["pcd_nonground_chunks"][sequence]
+        pcd_ground_chunk = chunk_downsample_dict["pcd_ground_chunks"][
+            sequence]
+
+        pcd_color = np.zeros((len(labels), 3))
+        for i in np.unique(labels):
+            pcd_color[labels == i] = np.array(
+                random_colors[int(i) % len(random_colors)]) / 255.0
+        pcd_chunk.paint_uniform_color([0, 0, 0])
+        colors = kdtree_1nn_reprojection(np.asarray(pcd_chunk.colors),
+                                         pcd_chunk, pcd_color, chunk_major)
+        pcd_chunk.colors = colors
+
+        inliers = statistical_inlier_indices(pcd_ground_chunk.points)
+        ground_in = pcd_ground_chunk.select_by_index(inliers)
+        mh = np.mean(ground_in.points[:, 2]) if len(ground_in) else 0.0
+        in_idcs = np.where(ground_in.points[:, 2]
+                           < (mh + cfg.mean_height))[0]
+        cut_ground = ground_in.select_by_index(in_idcs)
+        cut_ground.paint_uniform_color([0, 0, 0])
+        merged_chunk = pcd_chunk + cut_ground
+        glabels = chunk_downsample_dict["kitti_labels"]["ground"]
+        inst_ground = glabels["instance"][sequence][inliers][in_idcs]
+        seg_ground = glabels["semantic"][sequence][inliers][in_idcs]
+        yield (merged_chunk, pcd_chunk, cut_ground, inst_ground, seg_ground)

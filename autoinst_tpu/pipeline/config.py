@@ -89,6 +89,7 @@ class PipelineConfig:
     min_map_scans: int = 200    # skip smaller trailing maps
 
     # TPU execution knobs (no reference counterpart)
+    batched_chunks: bool = False     # all chunks of a map in one dispatch
     ncut_method: str = "auto"        # eigh | lobpcg | auto (host worklist)
     ncut_backend: str = "auto"       # device | host | auto (device on TPU)
     affinity_tile: int = 256

@@ -167,7 +167,10 @@ def ncuts_chunk(dataset, chunk_downsample_dict, pcd_nonground_minor,
     random_colors = generate_random_colors(600)
     pcd_color = np.zeros((num_points_major, 3))
     for i in np.unique(labels):
-        pcd_color[labels == i] = np.array(random_colors[int(i)]) / 255.0
+        # modulo guard: the reference indexes its 600-color palette directly
+        # (ncuts_utils.py:177-183) and would crash past 600 clusters
+        pcd_color[labels == i] = np.array(
+            random_colors[int(i) % len(random_colors)]) / 255.0
 
     pcd_chunk.paint_uniform_color([0, 0, 0])
     colors = kdtree_1nn_reprojection(np.asarray(pcd_chunk.colors), pcd_chunk,

@@ -146,10 +146,23 @@ def run(cfg: PipelineConfig | None = None, dataset_factory=None):
                 first_position, sampled_indices_global, cfg.chunk_size)
 
             n_chunks = len(chunk_downsample_dict["center_ids"])
+            batched_iter = None
+            if cfg.batched_chunks and "maskpls" not in weights["name"]:
+                from autoinst_tpu.pipeline.batch_runner import \
+                    ncuts_chunks_batched
+                with stage_timer("ncuts_chunks_batched"):
+                    batched_iter = iter(list(ncuts_chunks_batched(
+                        dataset, chunk_downsample_dict, pcd_nonground_minor,
+                        T_pcd, list(sampled_indices_global), cfg,
+                        patchwise_indices=patchwise_indices)))
             for sequence in range(cfg.start_seq, n_chunks):
                 name = str(chunk_downsample_dict["center_ids"][sequence]
                            ).zfill(6) + ".pcd"
-                if "maskpls" not in weights["name"]:
+                if batched_iter is not None:
+                    (merged_chunk, pcd_chunk, pcd_chunk_ground,
+                     inst_ground, seg_ground) = next(batched_iter)
+                    pred_pcd = pcd_chunk + pcd_chunk_ground
+                elif "maskpls" not in weights["name"]:
                     with stage_timer("ncuts_chunk"):
                         (merged_chunk, pcd_chunk, pcd_chunk_ground,
                          inst_ground, seg_ground) = ncuts_chunk(
