@@ -9,9 +9,10 @@ Here the whole thing is one tiled kernel: each (TI, TJ) tile computes
 
     A = [d_xyz <= prox] * exp(-(alpha * d_xyz + theta * d_tarl + extra))
 
-where both distances come from MXU dot products over 128-padded feature
-rows, and the proximity mask, validity mask and no-TARL row masking are fused
-into the same tile. One pass over HBM instead of ~8 full N^2 materializations.
+where the 3-D spatial distance uses exact broadcast differences (VPU, no
+cancellation) and the 96-d TARL distance an MXU contraction; the proximity
+mask, validity mask and no-TARL row masking are fused into the same tile.
+One pass over HBM instead of ~8 full N^2 materializations.
 
 Shapes are static: callers pad point counts to a multiple of the tile size
 and pass a validity mask. `affinity_xla` is the reference-shaped jnp
