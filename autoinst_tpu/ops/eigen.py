@@ -65,6 +65,14 @@ def _orthonormalize(X: jax.Array) -> jax.Array:
     return one_round(one_round(X))
 
 
+# MXU passes for the LOBPCG GEMMs: "highest" = 6-pass bf16 (~f32 exact),
+# "high" = 3-pass (2x faster, ~1e-6 relative error). Read at trace time.
+import os as _os
+
+LOBPCG_MATMUL_PRECISION = _os.environ.get("AUTOINST_EIGEN_PRECISION",
+                                          "highest")
+
+
 @partial(jax.jit, static_argnames=("block", "iters"))
 def fiedler_lobpcg(W: jax.Array, valid: jax.Array, block: int = 8,
                    iters: int = 120):
@@ -82,12 +90,13 @@ def fiedler_lobpcg(W: jax.Array, valid: jax.Array, block: int = 8,
     d, B = laplacian_terms(W, valid)
     v0 = jnp.where(valid, jnp.sqrt(d), 0.0)
     v0 = v0 / jnp.linalg.norm(v0)
+    prec = LOBPCG_MATMUL_PRECISION
 
     def proj(M):
-        return M - v0[:, None] * (v0[None, :] @ M)
+        return M - v0[:, None] * jnp.matmul(v0[None, :], M, precision=prec)
 
     def matvec(M):  # B' M = P B P M, restricted to valid dims
-        return proj(B @ proj(M)) * valid[:, None]
+        return proj(jnp.matmul(B, proj(M), precision=prec)) * valid[:, None]
 
     # deterministic init, zero on padded dims
     key = jax.random.PRNGKey(0)
