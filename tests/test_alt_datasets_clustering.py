@@ -139,3 +139,35 @@ class TestAltClustering:
         # two groups far apart must land in different components
         assert lab[gt == 0].max() != lab[gt == 1].max() or \
             len(np.unique(lab)) >= 2
+
+
+class TestNuScenesAggregation:
+    def test_reader_feeds_aggregation(self, tmp_path):
+        """The nuScenes reader plugs into the preprocessing stack."""
+        root = tmp_path / "nusc"
+        root.mkdir()
+        write_mini_nuscenes(str(root), n_samples=3)
+        # overwrite scans with structured scenes (ground + a box) so the
+        # ground split has something to find
+        rng = np.random.default_rng(7)
+        for i in range(3):
+            ground = np.column_stack([
+                rng.uniform(-15, 15, 800), rng.uniform(-15, 15, 800),
+                np.full(800, -1.8) + rng.normal(scale=0.02, size=800)])
+            box = np.array([6.0, 2.0, -0.9]) + rng.uniform(
+                -0.8, 0.8, (150, 3))
+            pts = np.concatenate([ground, box])
+            scan = np.column_stack(
+                [pts, rng.uniform(0, 1, (len(pts), 2))]).astype(np.float32)
+            scan.tofile(root / "sweeps/LIDAR_TOP" / f"{i}.pcd.bin")
+
+        from autoinst_tpu.datasets.nuscenes import (NuScenesDatasetConfig,
+                                                    NuScenesOdometryDataset)
+        from autoinst_tpu.pipeline.aggregation import aggregate_pointcloud
+        ds = NuScenesOdometryDataset(
+            NuScenesDatasetConfig(dataset_path=str(root)), 0)
+        g, ng, poses, T, labels = aggregate_pointcloud(ds, 0, 3)
+        assert len(g) > 1000      # ground found across scans
+        assert len(ng) > 200      # the boxes stay non-ground
+        assert len(poses) == 3
+        assert len(labels["seg_ground"]) == 3
