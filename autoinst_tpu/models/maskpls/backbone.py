@@ -63,6 +63,7 @@ class MaskedBatchNorm(nn.Module):
 class SparseConv(nn.Module):
     """Kernel-3 stride-1 sparse conv over the 27-neighbor map."""
     cout: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, feats, nbr):
@@ -70,19 +71,22 @@ class SparseConv(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (k * cin, self.cout))
         w = w.reshape(k, cin, self.cout)
-        return jax.vmap(sparse.gather_conv, in_axes=(0, 0, None))(feats, nbr, w)
+        return jax.vmap(sparse.gather_conv, in_axes=(0, 0, None, None))(
+            feats, nbr, w, self.dtype)
 
 
 class DownConv(nn.Module):
     """Kernel-2 stride-2 sparse conv (8-children map)."""
     cout: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, feats, child):
         cin = feats.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (8 * cin, self.cout)).reshape(8, cin, self.cout)
-        return jax.vmap(sparse.down_conv, in_axes=(0, 0, None))(feats, child, w)
+        return jax.vmap(sparse.down_conv, in_axes=(0, 0, None, None))(
+            feats, child, w, self.dtype)
 
 
 class UpConv(nn.Module):
@@ -102,14 +106,15 @@ class ResidualBlock(nn.Module):
     """conv3-BN-ReLU-conv3-BN + (1x1 conv-BN skip when channels change),
     final ReLU (reference mink.py:234-263)."""
     cout: int
+    dtype: type = jnp.float32
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
         cin = x.shape[-1]
-        h = SparseConv(self.cout)(x, nbr)
+        h = SparseConv(self.cout, self.dtype)(x, nbr)
         h = MaskedBatchNorm()(h, valid, train)
         h = nn.relu(h)
-        h = SparseConv(self.cout)(h, nbr)
+        h = SparseConv(self.cout, self.dtype)(h, nbr)
         h = MaskedBatchNorm()(h, valid, train)
         if cin != self.cout:
             skip = nn.Dense(self.cout, use_bias=False)(x)
@@ -122,6 +127,7 @@ class ResidualBlock(nn.Module):
 class MinkUNet(nn.Module):
     channels: Sequence[int] = (32, 32, 64, 128, 256, 256, 128, 96, 96)
     n_classes: int = 1  # class-agnostic refiner (reference mink.py:18)
+    dtype: type = jnp.float32  # GEMM compute dtype (bf16 for MXU speed)
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False):
@@ -135,11 +141,13 @@ class MinkUNet(nn.Module):
         L = batch["levels"]  # list of dicts
 
         def res2(x, lvl, c1, c2):
-            x = ResidualBlock(c1)(x, lvl["nbr3"], lvl["valid"], train)
-            return ResidualBlock(c2)(x, lvl["nbr3"], lvl["valid"], train)
+            x = ResidualBlock(c1, self.dtype)(x, lvl["nbr3"], lvl["valid"],
+                                              train)
+            return ResidualBlock(c2, self.dtype)(x, lvl["nbr3"],
+                                                 lvl["valid"], train)
 
         def down(x, lvl_from, lvl_to, cout):
-            h = DownConv(cout)(x, lvl_from["child"])
+            h = DownConv(cout, self.dtype)(x, lvl_from["child"])
             h = MaskedBatchNorm()(h, lvl_to["valid"], train)
             return nn.leaky_relu(h, 0.01)
 
@@ -151,9 +159,9 @@ class MinkUNet(nn.Module):
             return nn.leaky_relu(h, 0.01)
 
         # stem (level 0)
-        x = SparseConv(cs[0])(batch["vox_feats"], L[0]["nbr3"])
+        x = SparseConv(cs[0], self.dtype)(batch["vox_feats"], L[0]["nbr3"])
         x = nn.relu(MaskedBatchNorm()(x, L[0]["valid"], train))
-        x = SparseConv(cs[0])(x, L[0]["nbr3"])
+        x = SparseConv(cs[0], self.dtype)(x, L[0]["nbr3"])
         x0 = nn.relu(MaskedBatchNorm()(x, L[0]["valid"], train))
 
         x1 = res2(down(x0, L[0], L[1], cs[0]), L[1], cs[1], cs[1])

@@ -39,6 +39,7 @@ from autoinst_tpu.models.maskpls.decoder import MaskedTransformerDecoder
 class MaskPLSConfig:
     num_classes: int = 1          # class-agnostic (reference mink.py:18)
     resolution: float = 0.05
+    compute_dtype: str = "float32"  # "bfloat16" = MXU-native backbone GEMMs
     num_queries: int = 40
     overlap_threshold: float = 0.8
     # loss
@@ -64,7 +65,9 @@ class MaskPS(nn.Module):
                              in_axes=(0, 0, 0, None))(
             batch["pt_feats"], batch["point_voxel"], batch["pt_valid"],
             v0 + 1)[:, :v0]
-        bb = MinkUNet(n_classes=self.cfg.num_classes, name="backbone")
+        bb = MinkUNet(n_classes=self.cfg.num_classes,
+                      dtype=jnp.dtype(self.cfg.compute_dtype).type,
+                      name="backbone")
         feats, coords, pad_masks, bb_logits = bb(
             {**batch, "vox_feats": vox_feats}, train=train)
         dec = MaskedTransformerDecoder(

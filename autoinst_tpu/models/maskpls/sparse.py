@@ -129,24 +129,28 @@ def build_plan(coords_int: np.ndarray, v0: int, num_levels: int = 5
 
 
 def gather_conv(feats: jax.Array, nbr: jax.Array, weights: jax.Array,
-                dtype=jnp.float32) -> jax.Array:
+                compute_dtype=jnp.float32) -> jax.Array:
     """Sparse conv: out[v] = sum_k W[k] @ feats[nbr[v,k]] (missing -> 0).
 
     feats [V, Ci], nbr [V, K] with sentinel V, weights [K, Ci, Co].
-    One gather + one MXU GEMM."""
+    One gather + one MXU GEMM; with compute_dtype=bfloat16 the GEMM runs
+    native-bf16 on the MXU with f32 accumulation."""
     ci = feats.shape[1]
     vout, k = nbr.shape
     ext = jnp.concatenate([feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
-    g = ext[nbr]                                  # [Vout, K, Ci]
+    g = ext[nbr].astype(compute_dtype)            # [Vout, K, Ci]
     co = weights.shape[-1]
-    return (g.reshape(vout, k * ci) @ weights.reshape(k * ci, co)
-            ).astype(dtype)
+    out = jax.lax.dot_general(
+        g.reshape(vout, k * ci),
+        weights.reshape(k * ci, co).astype(compute_dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return out
 
 
-def down_conv(feats: jax.Array, child: jax.Array, weights: jax.Array
-              ) -> jax.Array:
+def down_conv(feats: jax.Array, child: jax.Array, weights: jax.Array,
+              compute_dtype=jnp.float32) -> jax.Array:
     """Stride-2 kernel-2 conv: gather the 8 children of each coarse voxel."""
-    return gather_conv(feats, child, weights)
+    return gather_conv(feats, child, weights, compute_dtype)
 
 
 def up_conv(feats_coarse: jax.Array, parent: jax.Array,

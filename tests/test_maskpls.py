@@ -185,3 +185,22 @@ class TestPseudoDataset:
         batch, targets = collate([item], 0.1, 1024, 640, 8)
         assert targets["masks"].shape == (1, 8, 640)
         assert targets["valid"].sum() == 3
+
+
+class TestMixedPrecision:
+    def test_bf16_backbone_close_to_f32(self):
+        batch, targets = tiny_batch()
+        batch = jax.tree.map(jnp.asarray, batch)
+        cfg32 = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32)
+        cfg16 = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32,
+                              compute_dtype="bfloat16")
+        m32, m16 = MaskPS(cfg32), MaskPS(cfg16)
+        v = m32.init(jax.random.PRNGKey(0), batch, train=False)
+        out32, _, _ = m32.apply(v, batch, train=False)
+        out16, _, _ = m16.apply(v, batch, train=False)
+        a = np.asarray(out32["pred_masks"])
+        b = np.asarray(out16["pred_masks"])
+        assert np.isfinite(b).all()
+        # bf16 GEMMs: loose agreement is expected
+        denom = np.abs(a).mean() + 1e-6
+        assert np.abs(a - b).mean() / denom < 0.15
