@@ -20,7 +20,7 @@ the published Patchwork++ KITTI settings.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

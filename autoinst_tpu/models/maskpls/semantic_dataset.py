@@ -14,8 +14,7 @@ import os
 
 import numpy as np
 
-from autoinst_tpu.datasets.semantic_kitti import (LEARNING_MAP,
-                                                  apply_learning_map)
+from autoinst_tpu.datasets.semantic_kitti import apply_learning_map
 
 SPLITS = {
     "train": (0, 1, 2, 3, 4, 5, 6, 7, 9, 10),

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from autoinst_tpu.models.maskpls.model import (MaskPLSConfig,
                                                create_train_state,
-                                               panoptic_inference,
                                                train_step)
 from autoinst_tpu.models.maskpls.pseudo_dataset import PseudoDataset, collate
 

@@ -69,7 +69,10 @@ def aggregate_pointcloud(dataset, ind_start: int, ind_end: int,
         if icp and i != ind_start and icp_map:
             from autoinst_tpu.hostops import voxel_downsample_np
             from autoinst_tpu.ops.registration import icp_point_to_plane
-            merged = np.concatenate(icp_map)
+            # register against the recent neighborhood of the map (bounded
+            # memory; the reference uses the full map + 0.3m downsample,
+            # aggregate_pointcloud.py:143-144)
+            merged = np.concatenate(icp_map[-8:])
             ref, _, _ = voxel_downsample_np(merged, 0.3)
             transform = icp_point_to_plane(entry.point_cloud[:, :3], ref,
                                            init=pose, max_distance=0.9,

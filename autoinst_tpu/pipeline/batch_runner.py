@@ -28,7 +28,6 @@ from autoinst_tpu.pipeline.chunking import (get_indices_feature_reprojection,
 from autoinst_tpu.pipeline.ncuts_chunk import (chunk_affinity,
                                                kdtree_1nn_reprojection)
 from autoinst_tpu.utils.colors import generate_random_colors
-from autoinst_tpu.utils.pointcloud import PointCloud
 
 
 def ncuts_chunks_batched(dataset, chunk_downsample_dict, pcd_nonground_minor,

@@ -29,7 +29,6 @@ def dbscan_cluster(points: np.ndarray, eps: float = 0.5,
 def _grid_dbscan(points: np.ndarray, eps: float, min_samples: int
                  ) -> np.ndarray:
     """Exact DBSCAN via grid-bucketed region queries (no sklearn)."""
-    from autoinst_tpu.hostops.grid_nn import grid_nn1  # noqa: F401  (dep)
     n = len(points)
     cell = eps
     ijk = np.floor((points - points.min(0)) / cell).astype(np.int64)
