@@ -54,6 +54,9 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
     q_idx = [jnp.zeros((cap, width), jnp.int32) for width, _, cap in tiers]
     q_size = [jnp.zeros((cap,), jnp.int32) for _, _, cap in tiers]
     q_chunk = [jnp.zeros((cap,), jnp.int32) for _, _, cap in tiers]
+    # warm-start Fiedler carriers: children inherit the parent's eigenvector
+    # restricted to their indices (answers unchanged, convergence faster)
+    q_warm = [jnp.zeros((cap, width), jnp.float32) for width, _, cap in tiers]
     heads = [jnp.int32(0) for _ in tiers]
     tails = [jnp.int32(0) for _ in tiers]
     labels = jnp.zeros((C, N), jnp.int32)
@@ -75,34 +78,32 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
                              / (num_valids[chunk].astype(jnp.float32) + 1e-8)
                              > split_lim)
 
-    def pack(q_idx, q_size, q_chunk, heads, tails, labels, counters,
+    def pack(q_idx, q_size, q_chunk, q_warm, heads, tails, labels, counters,
              overflow):
-        return (*q_idx, *q_size, *q_chunk, *heads, *tails, labels, counters,
-                overflow)
+        return (*q_idx, *q_size, *q_chunk, *q_warm, *heads, *tails, labels,
+                counters, overflow)
 
     def unpack(state):
         k = n_tiers
         return (list(state[0:k]), list(state[k:2 * k]),
                 list(state[2 * k:3 * k]), list(state[3 * k:4 * k]),
-                list(state[4 * k:5 * k]), state[5 * k], state[5 * k + 1],
-                state[5 * k + 2])
+                list(state[4 * k:5 * k]), list(state[5 * k:6 * k]),
+                state[6 * k], state[6 * k + 1], state[6 * k + 2])
 
-    def solve_tier(width, chunks, idxs, sizes):
+    def solve_tier(width, chunks, idxs, sizes, warms):
         iota_w = jnp.arange(width, dtype=jnp.int32)
 
-        def one(chunk, idx, size):
+        def one(chunk, idx, size, warm):
             valid = iota_w < size
             sub = W[chunk][idx][:, idx]
             sub = sub * valid[:, None] * valid[None, :]
-            ev, _ = eigen.fiedler_lobpcg(sub, valid, iters=iters)
-            return ncut_threshold_sweep(sub, valid, ev)
+            ev, _ = eigen.fiedler_lobpcg(sub, valid, iters=iters, x0=warm)
+            mask, mcut = ncut_threshold_sweep(sub, valid, ev)
+            return mask, mcut, ev
 
-        return jax.vmap(one)(chunks, idxs, sizes)
+        return jax.vmap(one)(chunks, idxs, sizes, warms)
 
     def body(state):
-        q_idx, q_size, q_chunk, heads, tails, labels, counters, overflow = \
-            unpack(state)
-
         def make_tier(t):
             width, nb, cap = tiers[t]
 
@@ -112,7 +113,7 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
             return process
 
         def _process_tier(state, t):
-            q_idx, q_size, q_chunk, heads, tails, labels, counters, \
+            q_idx, q_size, q_chunk, q_warm, heads, tails, labels, counters, \
                 overflow = unpack(state)
             width, nb, cap = tiers[t]
             iota_w = jnp.arange(width, dtype=jnp.int32)
@@ -124,11 +125,12 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
             chunks = q_chunk[t][slots_c]
             idxs = q_idx[t][slots_c]
             sizes = jnp.where(active, q_size[t][slots_c], 3)
+            warms = q_warm[t][slots_c]
 
-            masks, mcuts = solve_tier(width, chunks, idxs, sizes)
+            masks, mcuts, evs = solve_tier(width, chunks, idxs, sizes, warms)
 
             def handle(i, st):
-                (q_idx, q_size, q_chunk, tails, labels, counters,
+                (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
                  overflow) = st
                 chunk = chunks[i]
                 idx = idxs[i]
@@ -144,9 +146,12 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
                                       stable=True)
                 idx_a = idx[order_a]
                 idx_b = idx[order_b]
+                ev_i = evs[i]
+                warm_a = ev_i[order_a]
+                warm_b = ev_i[order_b]
 
                 def finalize(st, side_idx, side_n, enabled):
-                    (q_idx, q_size, q_chunk, tails, labels, counters,
+                    (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
                      overflow) = st
                     lab = counters[chunk]
                     member = iota_w < side_n
@@ -155,12 +160,12 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
                     labels = labels.at[chunk, side_idx].set(upd)
                     counters = counters.at[chunk].add(
                         jnp.where(enabled, 1, 0))
-                    return (q_idx, q_size, q_chunk, tails, labels, counters,
-                            overflow)
+                    return (q_idx, q_size, q_chunk, q_warm, tails, labels,
+                            counters, overflow)
 
-                def push(st, side_idx, side_n, enabled):
+                def push(st, side_idx, side_n, side_warm, enabled):
                     # destination tier: smallest width >= side_n
-                    (q_idx, q_size, q_chunk, tails, labels, counters,
+                    (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
                      overflow) = st
                     for k in range(t + 1):  # children never grow
                         wk, _, capk = tiers[k]
@@ -176,52 +181,61 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
                             enabled & dest & full, 1, 0)
                         pos = jnp.where(en, tails[k] % capk, capk - 1)
                         child = side_idx[:wk]
+                        child_warm = side_warm[:wk]
                         q_idx[k] = jax.lax.cond(
                             en,
                             lambda q, c=child, p=pos: q.at[p].set(c),
                             lambda q: q, q_idx[k])
+                        q_warm[k] = jax.lax.cond(
+                            en,
+                            lambda q, c=child_warm, p=pos: q.at[p].set(c),
+                            lambda q: q, q_warm[k])
                         q_size[k] = q_size[k].at[pos].set(
                             jnp.where(en, side_n, q_size[k][pos]))
                         q_chunk[k] = q_chunk[k].at[pos].set(
                             jnp.where(en, chunk, q_chunk[k][pos]))
                         tails[k] = tails[k] + jnp.where(en, 1, 0)
-                    return (q_idx, q_size, q_chunk, tails, labels, counters,
-                            overflow)
+                    return (q_idx, q_size, q_chunk, q_warm, tails, labels,
+                            counters, overflow)
 
-                for side_idx, side_n in ((idx_a, na), (idx_b, nb_)):
+                for side_idx, side_n, side_warm in (
+                        (idx_a, na, warm_a), (idx_b, nb_, warm_b)):
                     adm = admissible(chunk, side_n)
                     st = finalize(st, side_idx, side_n,
                                   want_split & ~adm)
-                    st = push(st, side_idx, side_n, want_split & adm)
+                    st = push(st, side_idx, side_n, side_warm,
+                              want_split & adm)
                 st = finalize(st, idx, size, active[i] & ~want_split)
                 return st
 
-            st = (q_idx, q_size, q_chunk, tails, labels, counters, overflow)
+            st = (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
+                  overflow)
             st = jax.lax.fori_loop(0, nb, handle, st)
-            (q_idx, q_size, q_chunk, tails, labels, counters, overflow) = st
+            (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
+             overflow) = st
             heads[t] = heads[t] + n_proc
-            return pack(q_idx, q_size, q_chunk, heads, tails, labels,
+            return pack(q_idx, q_size, q_chunk, q_warm, heads, tails, labels,
                         counters, overflow)
 
         # skip empty tiers entirely: without the cond, an idle tier would
         # still pay its full vmapped solve on dummy slots every iteration
         for t in range(len(tiers)):
-            _, _, _, heads, tails, _, _, _ = unpack(state)
+            _, _, _, _, heads, tails, _, _, _ = unpack(state)
             state = jax.lax.cond(tails[t] > heads[t], make_tier(t),
                                  lambda s: s, state)
         return state
 
     def cond(state):
-        _, _, _, heads, tails, _, _, _ = unpack(state)
+        _, _, _, _, heads, tails, _, _, _ = unpack(state)
         pending = heads[0] < tails[0]
         for t in range(1, n_tiers):
             pending = pending | (heads[t] < tails[t])
         return pending
 
-    state = pack(q_idx, q_size, q_chunk, heads, tails, labels, counters,
-                 overflow)
+    state = pack(q_idx, q_size, q_chunk, q_warm, heads, tails, labels,
+                 counters, overflow)
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, _, labels, counters, overflow = unpack(state)
+    _, _, _, _, _, _, labels, counters, overflow = unpack(state)
     return labels, counters, overflow
 
 

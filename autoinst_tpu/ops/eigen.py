@@ -75,7 +75,7 @@ LOBPCG_MATMUL_PRECISION = _os.environ.get("AUTOINST_EIGEN_PRECISION",
 
 @partial(jax.jit, static_argnames=("block", "iters"))
 def fiedler_lobpcg(W: jax.Array, valid: jax.Array, block: int = 8,
-                   iters: int = 120):
+                   iters: int = 120, x0: jax.Array | None = None):
     """Fiedler vector of the normalized Laplacian of W + I, via LOBPCG.
 
     Fixed iteration count (static so a batch of graphs vmaps into pure GEMM
@@ -85,6 +85,11 @@ def fiedler_lobpcg(W: jax.Array, valid: jax.Array, block: int = 8,
     worth taking), so no hard constraints are needed and rank-deficient QR
     completions are harmless. Returns (ev [N], lam2) with lam2 the Fiedler
     eigenvalue of A.
+
+    x0: optional warm-start vector (e.g. the parent subgraph's Fiedler
+    vector in recursive NCut) occupying the first block column; the
+    converged answer is unchanged, convergence is just faster. A zero x0 is
+    harmless (jittered CholeskyQR re-completes the block).
     """
     n = W.shape[0]
     d, B = laplacian_terms(W, valid)
@@ -101,6 +106,8 @@ def fiedler_lobpcg(W: jax.Array, valid: jax.Array, block: int = 8,
     # deterministic init, zero on padded dims
     key = jax.random.PRNGKey(0)
     X = jax.random.normal(key, (n, block), dtype=W.dtype)
+    if x0 is not None:
+        X = X.at[:, 0].set(x0)
     X = _orthonormalize(proj(X * valid[:, None]))
 
     def body(carry):
