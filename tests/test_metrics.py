@@ -207,3 +207,26 @@ class TestInstanceMetrics:
         assert out2["recall"] == (tp1 + tp2) / n_gt
         # mean IoU in "panoptic" is per-map (reference resets all_matches? no:
         # it accumulates across maps inside one Metrics instance)
+
+
+class TestColorPalettes:
+    """Palette determinism regression: instance identity flows through float
+    RGB uniqueness (run_pipeline.py:216-218), so the draw sequence is pinned
+    (CPython Mersenne-Twister, seed 0; set iteration order)."""
+
+    def test_map_palette_pinned(self):
+        from autoinst_tpu.utils.colors import generate_random_colors_map
+        assert generate_random_colors_map(5) == [
+            (155, 244, 183), (111, 71, 144), (132, 248, 207),
+            (197, 215, 20), (71, 48, 128)]
+
+    def test_unseeded_palette_follows_global_rng(self):
+        import random
+        from autoinst_tpu.utils.colors import generate_random_colors
+        random.seed(0)
+        assert generate_random_colors(3) == [
+            (197, 215, 20), (155, 244, 183), (132, 248, 207)]
+
+    def test_no_black(self):
+        from autoinst_tpu.utils.colors import generate_random_colors_map
+        assert (0, 0, 0) not in generate_random_colors_map(600)
