@@ -192,8 +192,12 @@ def main():
         print("precompile-done")
         return
 
+    # Optional crash-isolated precompile (the remote compile service does
+    # not share compilations across processes, so this doubles wall time;
+    # enable when the tunnel has been flaky).
     if backend == "tpu" and os.environ.get("BENCH_SOLVER",
-                                           "device") == "device":
+                                           "device") == "device" \
+            and os.environ.get("BENCH_ISOLATED_PRECOMPILE") == "1":
         precompile_subprocess({"BENCH_CHUNKS": str(n_chunks),
                                "BENCH_N": str(n_pts)})
 
