@@ -240,7 +240,7 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
 
 
 def recursive_ncut_device(W: jax.Array, num_valids, T: float = 0.03,
-                          split_lim: float = 0.01, iters: int = 120
+                          split_lim: float = 0.01, iters: int = 240
                           ) -> list[np.ndarray]:
     """Device-resident equivalent of solver.recursive_ncut_batch (one
     dispatch per chunk batch). Raises on node-queue overflow."""

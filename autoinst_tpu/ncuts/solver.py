@@ -123,7 +123,7 @@ def _solve_batch(W: jax.Array, cid: jax.Array, idx: jax.Array,
 
 def recursive_ncut_batch(W: jax.Array, num_valids, T: float = 0.03,
                          split_lim: float = 0.01, method: str = "auto",
-                         lobpcg_iters: int = 150) -> list[np.ndarray]:
+                         lobpcg_iters: int = 240) -> list[np.ndarray]:
     """Cluster a batch of chunk graphs W [C, N, N] (chunk c has
     num_valids[c] real rows) through ONE shared worklist: every round, all
     pending subgraphs of all chunks -- grouped by size bucket -- are solved
@@ -207,7 +207,7 @@ def recursive_ncut_batch(W: jax.Array, num_valids, T: float = 0.03,
 
 def recursive_ncut(W: jax.Array, num_valid: int, T: float = 0.03,
                    split_lim: float = 0.01, method: str = "auto",
-                   lobpcg_iters: int = 150) -> np.ndarray:
+                   lobpcg_iters: int = 240) -> np.ndarray:
     """Single-chunk convenience wrapper around recursive_ncut_batch."""
     return recursive_ncut_batch(W[None], [num_valid], T=T,
                                 split_lim=split_lim, method=method,
@@ -215,7 +215,7 @@ def recursive_ncut(W: jax.Array, num_valid: int, T: float = 0.03,
 
 
 def warmup_shapes(W: jax.Array, method: str = "auto",
-                  lobpcg_iters: int = 150, max_bucket: int | None = None):
+                  lobpcg_iters: int = 240, max_bucket: int | None = None):
     """Pre-compile every (bucket, batch) solve shape for the given chunk
     stack so timed runs never hit the multi-second per-shape compile."""
     n = W.shape[1]

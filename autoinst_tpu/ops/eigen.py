@@ -75,7 +75,7 @@ LOBPCG_MATMUL_PRECISION = _os.environ.get("AUTOINST_EIGEN_PRECISION",
 
 @partial(jax.jit, static_argnames=("block", "iters"))
 def fiedler_lobpcg(W: jax.Array, valid: jax.Array, block: int = 8,
-                   iters: int = 120, x0: jax.Array | None = None):
+                   iters: int = 240, x0: jax.Array | None = None):
     """Fiedler vector of the normalized Laplacian of W + I, via LOBPCG.
 
     Fixed iteration count (static so a batch of graphs vmaps into pure GEMM

@@ -179,7 +179,7 @@ def main():
     backend = jax.default_backend()
     use_pallas = backend == "tpu"
     method = os.environ.get("BENCH_NCUT_METHOD", "auto")
-    iters = int(os.environ.get("BENCH_LOBPCG_ITERS", "120"))
+    iters = int(os.environ.get("BENCH_LOBPCG_ITERS", "240"))
     log(f"backend={backend} pallas={use_pallas} method={method} "
         f"chunks={n_chunks} n={n_pts}")
 

@@ -18,20 +18,26 @@ def _pad(w, n):
 
 @pytest.mark.parametrize("seed", [0, 1])
 def test_matches_host_worklist(seed):
-    # a batch of two chunks with different sizes
-    Ws, nums = [], []
+    """Both solvers recover the ground-truth partition of a stable scene.
+
+    (Exact host==device equality is not guaranteed on degenerate inputs:
+    weakly attached outlier points make near-threshold cuts bistable and
+    the two programs' f32 arithmetic differs.)"""
+    Ws, nums, gts = [], [], []
     for s in (seed, seed + 10):
-        pts, _ = clustered_points(seed=s, n_per=40)
+        pts, gt = clustered_points(seed=s, n_per=40, spread=0.15)
         w = affinity_oracle(pts).astype(np.float32)
         Ws.append(_pad(w, 256))
         nums.append(len(w))
+        gts.append(gt)
     Ws = jnp.asarray(np.stack(Ws))
 
     host = recursive_ncut_batch(Ws, nums, T=0.075, method="lobpcg",
-                                lobpcg_iters=100)
-    dev = recursive_ncut_device(Ws, nums, T=0.075, iters=100)
-    for h, d in zip(host, dev):
-        assert partition_sets(h) == partition_sets(d)
+                                lobpcg_iters=200)
+    dev = recursive_ncut_device(Ws, nums, T=0.075, iters=200)
+    for h, d, gt in zip(host, dev, gts):
+        assert partition_sets(h) == partition_sets(gt)
+        assert partition_sets(d) == partition_sets(gt)
 
 
 def test_no_split_single_cluster():

@@ -96,7 +96,7 @@ class TestEigen:
         valid = np.ones(len(w), bool)
         ev_e, lam_e = eigen.fiedler_eigh(jnp.asarray(w), jnp.asarray(valid))
         ev_l, lam_l = eigen.fiedler_lobpcg(jnp.asarray(w), jnp.asarray(valid),
-                                           iters=150)
+                                           iters=400)
         assert abs(float(lam_l) - float(lam_e)) < 1e-3
         ev_e, ev_l = np.asarray(ev_e), np.asarray(ev_l)
         corr = abs(np.dot(ev_e, ev_l) / (np.linalg.norm(ev_e) * np.linalg.norm(ev_l)))
