@@ -29,8 +29,11 @@ from autoinst_tpu.ncuts.solver import ncut_threshold_sweep
 # (tier width, nodes solved per iteration, queue capacity); the per-tier
 # batch is small at big widths because padded slots in a deep recursion
 # chain cost full solves
-_TIERS = ((256, 32, 8192), (1024, 8, 2048), (4096, 4, 512),
+_TIERS = ((256, 8, 8192), (1024, 8, 2048), (4096, 4, 512),
           (16384, 1, 128))
+
+# per-chunk component-table capacity for the connected-component seeding
+_SEED_CAP = 512
 
 
 def _tiers_for(n: int):
@@ -63,20 +66,109 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
     counters = jnp.zeros((C,), jnp.int32)
     overflow = jnp.zeros((), jnp.int32)
 
-    # seed roots into the top tier (vectorized: keeps the traced graph
-    # size independent of the chunk count)
-    top = n_tiers - 1
-    top_width = tiers[top][0]
-    q_idx[top] = q_idx[top].at[:C].set(
-        jnp.tile(jnp.arange(top_width, dtype=jnp.int32)[None], (C, 1)))
-    q_size[top] = q_size[top].at[:C].set(num_valids.astype(jnp.int32))
-    q_chunk[top] = q_chunk[top].at[:C].set(jnp.arange(C, dtype=jnp.int32))
-    tails[top] = jnp.int32(C)
-
     def admissible(chunk, size):
         return (size > 2) & (size.astype(jnp.float32)
                              / (num_valids[chunk].astype(jnp.float32) + 1e-8)
                              > split_lim)
+
+    # ---- connected-component pre-seeding --------------------------------
+    # Cuts between disconnected components cost ncut = 0 < T, so the
+    # recursion ALWAYS ends up separating components -- but one zero-cost
+    # peel at a time, a sequential chain that dominates wall time on
+    # fragmented graphs (clutter-heavy chunks have hundreds of components).
+    # Seeding one worklist node per component instead of one per chunk
+    # runs those branches in parallel, and components below the
+    # admissibility guards finalize immediately with no eigensolve.
+    # Final partitions match the recursion run to its fixpoint; see
+    # docs/PARITY.md for the degenerate-ordering caveat vs the reference
+    # (normalized_cut.py:37-63), whose small multi-component leaves depend
+    # on ARPACK's arbitrary basis for repeated eigenvalues.
+    top = n_tiers - 1
+    top_width = tiers[top][0]
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+    valid_cn = iota_n[None, :] < num_valids[:, None]          # [C, N]
+    adj = W > 0  # bool adjacency (diag is 1 for valid points): 4x less
+    # HBM traffic than re-testing f32 W every propagation sweep
+
+    def _cc_body(carry):
+        lab, _ = carry
+        nxt = jnp.max(jnp.where(adj, lab[:, None, :], -1), axis=2)
+        nxt = jnp.maximum(lab, jnp.where(valid_cn, nxt, -1))
+        return nxt, jnp.any(nxt != lab)
+
+    lab0 = jnp.where(valid_cn, iota_n[None, :], -1)
+    lab, _ = jax.lax.while_loop(lambda c: c[1], _cc_body,
+                                (lab0, jnp.bool_(True)))
+
+    # component table per chunk: sort points by component id -> contiguous
+    # segments; starts/sizes per component ordinal (capped at _SEED_CAP)
+    sort_key = jnp.where(valid_cn, lab, jnp.int32(N + 1))
+    order = jnp.argsort(sort_key, axis=1).astype(jnp.int32)   # [C, N]
+    sc = jnp.take_along_axis(sort_key, order, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((C, 1), -2, sc.dtype), sc[:, :-1]], axis=1)
+    is_start = (sc != prev) & (sc < N)
+    ord_k = jnp.cumsum(is_start, axis=1) - 1                  # [C, N]
+    K = _SEED_CAP
+    rowc = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, N))
+    k_idx = jnp.where(is_start & (ord_k < K), ord_k, K)       # K = drop slot
+    starts = jnp.zeros((C, K + 1), jnp.int32).at[rowc, k_idx].set(
+        jnp.broadcast_to(iota_n[None], (C, N)))[:, :K]
+    s_idx = jnp.where((sc < N) & (ord_k < K), ord_k, K)
+    sizes_tab = jnp.zeros((C, K + 1), jnp.int32).at[rowc, s_idx].add(
+        1)[:, :K]
+    ncomp = jnp.sum(is_start, axis=1)
+    # chunks with more components than the table holds fall back to a
+    # whole-chunk root node (slower, never wrong)
+    fallback = ncomp > K
+    # order[c] lists the valid indices first, so a fallback root is just
+    # the (start=0, size=num_valid) segment of the same permutation
+    order_pad = jnp.concatenate(
+        [order, jnp.zeros((C, top_width), jnp.int32)], axis=1)
+
+    def seed_one(ti, st):
+        (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
+         overflow) = st
+        c = ti // K
+        k = ti % K
+        size = jnp.where(fallback[c],
+                         jnp.where(k == 0, num_valids[c].astype(jnp.int32),
+                                   0),
+                         sizes_tab[c, k])
+        start = jnp.where(fallback[c], 0, starts[c, k])
+        adm = admissible(c, size)
+        do_fin = (size > 0) & ~adm
+        do_push = (size > 0) & adm
+        # finalize inadmissible components as single instances
+        row = order[c]
+        in_seg = (iota_n >= start) & (iota_n < start + size)
+        upd = jnp.where(in_seg & do_fin, counters[c], labels[c, row])
+        labels = labels.at[c, row].set(upd)
+        counters = counters.at[c].add(jnp.where(do_fin, 1, 0))
+        for kk in range(n_tiers):
+            wk, _, capk = tiers[kk]
+            lo = tiers[kk - 1][0] if kk else 0
+            dest = do_push & (size > lo) & (size <= wk)
+            full = tails[kk] >= capk  # heads are 0 during seeding
+            overflow = overflow + jnp.where(dest & full, 1, 0)
+            en = dest & ~full
+            pos = jnp.where(en, tails[kk] % capk, capk - 1)
+            child = jax.lax.dynamic_slice(order_pad[c], (start,), (wk,))
+            q_idx[kk] = jax.lax.cond(
+                en, lambda q, ch=child, p=pos: q.at[p].set(ch),
+                lambda q: q, q_idx[kk])
+            q_size[kk] = q_size[kk].at[pos].set(
+                jnp.where(en, size, q_size[kk][pos]))
+            q_chunk[kk] = q_chunk[kk].at[pos].set(
+                jnp.where(en, c, q_chunk[kk][pos]))
+            tails[kk] = tails[kk] + jnp.where(en, 1, 0)
+        return (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
+                overflow)
+
+    (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
+     overflow) = jax.lax.fori_loop(
+        0, C * K, seed_one,
+        (q_idx, q_size, q_chunk, q_warm, tails, labels, counters, overflow))
 
     def pack(q_idx, q_size, q_chunk, q_warm, heads, tails, labels, counters,
              overflow):
