@@ -152,6 +152,24 @@ def _match_callback(all_costs: jax.Array) -> jax.Array:
     return jax.pure_callback(_host_lsa, shape, all_costs)
 
 
+def hungarian_match(all_costs: jax.Array) -> jax.Array:
+    """Exact LSAP fully in-graph: [L, B, Q, T] costs -> [L, B, T] query
+    index per target.
+
+    Runs this framework's shortest-augmenting-path solver (ops/lsa.py,
+    same optimum as the reference's scipy call, matcher.py:116) under vmap
+    on device -- no host callback, so it works on transports without
+    callback support and costs no device->host round trip per step.
+    Matching is done under stop_gradient (the reference matches inside
+    no_grad, matcher.py:39)."""
+    from autoinst_tpu.ops.lsa import linear_sum_assignment
+    L, B, Q, T = all_costs.shape
+    c = jax.lax.stop_gradient(all_costs)
+    ct = jnp.transpose(c, (0, 1, 3, 2)).reshape(L * B, T, Q)
+    assign = jax.vmap(linear_sum_assignment)(ct)
+    return assign.reshape(L, B, T).astype(jnp.int32)
+
+
 @jax.custom_jvp
 def _hungarian_float(all_costs: jax.Array) -> jax.Array:
     return _match_callback(all_costs).astype(jnp.float32)
@@ -165,8 +183,9 @@ def _hungarian_jvp(primals, tangents):
     return out, jnp.zeros_like(out)
 
 
-def hungarian_match(all_costs: jax.Array) -> jax.Array:
-    """Device->host LSAP round trip inside jit (static shapes, grad-safe)."""
+def hungarian_match_host(all_costs: jax.Array) -> jax.Array:
+    """scipy-via-callback variant (host LSAP round trip inside jit); kept
+    for cross-checking the in-graph solver on callback-capable backends."""
     return _hungarian_float(jax.lax.stop_gradient(all_costs)
                             ).astype(jnp.int32)
 

@@ -36,6 +36,35 @@ _TIERS = ((256, 8, 8192), (1024, 8, 2048), (4096, 4, 512),
 _SEED_CAP = 512
 
 
+@jax.jit
+def connected_components(W: jax.Array, valid: jax.Array) -> jax.Array:
+    """Per-graph connected components of a batch of dense affinities.
+
+    W [C, N, N] (nonzero = edge; diagonal nonzero for valid points),
+    valid [C, N] bool. Returns int32 labels [C, N]: each valid point gets
+    the max point index of its component; invalid points get -1.
+
+    Max-label propagation to fixpoint: each sweep is one fused select+max
+    over the [C, N, N] adjacency; sweeps = graph diameter. (Pointer jumping
+    was tried for O(log diam) sweeps and measured ~5% SLOWER end-to-end on
+    chunk graphs: their diameter is already small and the extra [C, N]
+    gather per sweep costs more than the sweeps it saves.)"""
+    C, N, _ = W.shape
+    adj = W > 0  # bool: 4x less HBM traffic than re-testing f32 W per sweep
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+
+    def body(carry):
+        lab, _ = carry
+        nxt = jnp.max(jnp.where(adj, lab[:, None, :], -1), axis=2)
+        nxt = jnp.maximum(lab, jnp.where(valid, nxt, -1))
+        return nxt, jnp.any(nxt != lab)
+
+    lab0 = jnp.where(valid, iota_n[None, :], -1)
+    lab, _ = jax.lax.while_loop(lambda c: c[1], body,
+                                (lab0, jnp.bool_(True)))
+    return lab
+
+
 def _tiers_for(n: int):
     out = [t for t in _TIERS if t[0] < n]
     # top tier exactly n
@@ -48,9 +77,11 @@ def _tiers_for(n: int):
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("T", "split_lim", "iters", "tiers"))
+@partial(jax.jit, static_argnames=("T", "split_lim", "iters", "tiers",
+                                   "seed_cap"))
 def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
-                 split_lim: float, iters: int, tiers: tuple):
+                 split_lim: float, iters: int, tiers: tuple,
+                 seed_cap: int = _SEED_CAP):
     C, N, _ = W.shape
     n_tiers = len(tiers)
 
@@ -87,18 +118,7 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
     top_width = tiers[top][0]
     iota_n = jnp.arange(N, dtype=jnp.int32)
     valid_cn = iota_n[None, :] < num_valids[:, None]          # [C, N]
-    adj = W > 0  # bool adjacency (diag is 1 for valid points): 4x less
-    # HBM traffic than re-testing f32 W every propagation sweep
-
-    def _cc_body(carry):
-        lab, _ = carry
-        nxt = jnp.max(jnp.where(adj, lab[:, None, :], -1), axis=2)
-        nxt = jnp.maximum(lab, jnp.where(valid_cn, nxt, -1))
-        return nxt, jnp.any(nxt != lab)
-
-    lab0 = jnp.where(valid_cn, iota_n[None, :], -1)
-    lab, _ = jax.lax.while_loop(lambda c: c[1], _cc_body,
-                                (lab0, jnp.bool_(True)))
+    lab = connected_components(W, valid_cn)
 
     # component table per chunk: sort points by component id -> contiguous
     # segments; starts/sizes per component ordinal (capped at _SEED_CAP)
@@ -109,7 +129,7 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
         [jnp.full((C, 1), -2, sc.dtype), sc[:, :-1]], axis=1)
     is_start = (sc != prev) & (sc < N)
     ord_k = jnp.cumsum(is_start, axis=1) - 1                  # [C, N]
-    K = _SEED_CAP
+    K = seed_cap
     rowc = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, N))
     k_idx = jnp.where(is_start & (ord_k < K), ord_k, K)       # K = drop slot
     starts = jnp.zeros((C, K + 1), jnp.int32).at[rowc, k_idx].set(
@@ -126,16 +146,22 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
     order_pad = jnp.concatenate(
         [order, jnp.zeros((C, top_width), jnp.int32)], axis=1)
 
+    # (size-sorted seeding was tried for homogeneous lock-step lanes and
+    # measured no benefit on chunk graphs; seeds enqueue in table order)
+    seed_size = jnp.where(
+        fallback[:, None],
+        jnp.where(jnp.arange(K)[None, :] == 0,
+                  num_valids[:, None].astype(jnp.int32), 0),
+        sizes_tab)                                            # [C, K]
+    seed_start = jnp.where(fallback[:, None], 0, starts)
+
     def seed_one(ti, st):
         (q_idx, q_size, q_chunk, q_warm, tails, labels, counters,
          overflow) = st
         c = ti // K
         k = ti % K
-        size = jnp.where(fallback[c],
-                         jnp.where(k == 0, num_valids[c].astype(jnp.int32),
-                                   0),
-                         sizes_tab[c, k])
-        start = jnp.where(fallback[c], 0, starts[c, k])
+        size = seed_size[c, k]
+        start = seed_start[c, k]
         adm = admissible(c, size)
         do_fin = (size > 0) & ~adm
         do_push = (size > 0) & adm
@@ -332,15 +358,15 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
 
 
 def recursive_ncut_device(W: jax.Array, num_valids, T: float = 0.03,
-                          split_lim: float = 0.01, iters: int = 240
-                          ) -> list[np.ndarray]:
+                          split_lim: float = 0.01, iters: int = 240,
+                          seed_cap: int = _SEED_CAP) -> list[np.ndarray]:
     """Device-resident equivalent of solver.recursive_ncut_batch (one
     dispatch per chunk batch). Raises on node-queue overflow."""
     num_valids = np.atleast_1d(np.asarray(num_valids, np.int32))
     tiers = _tiers_for(W.shape[1])
     labels, counters, overflow = _device_ncut(
         W, jnp.asarray(num_valids), float(T), float(split_lim), int(iters),
-        tiers)
+        tiers, seed_cap=int(seed_cap))
     if int(overflow) > 0:
         raise RuntimeError(f"device NCut queue overflow ({int(overflow)} "
                            f"nodes); raise tier capacities")

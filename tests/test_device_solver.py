@@ -61,3 +61,47 @@ def test_multitier_path():
     dev = recursive_ncut_device(Ws, [len(w)], T=0.075, iters=100)
     assert partition_sets(host[0]) == partition_sets(dev[0])
     assert len(np.unique(dev[0])) == 4
+
+
+def test_seed_table_fallback():
+    """Chunks with more components than the seed table take the
+    whole-chunk-root fallback and still produce the right partition."""
+    pts, gt = clustered_points(seed=7, n_per=40, spread=0.15)
+    w = affinity_oracle(pts).astype(np.float32)
+    Ws = jnp.asarray(_pad(w, 256)[None])
+    dev = recursive_ncut_device(Ws, [len(w)], T=0.075, iters=200, seed_cap=2)
+    assert partition_sets(dev[0]) == partition_sets(gt)
+
+
+def test_connected_components_vs_scipy():
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components as cc_scipy
+    from autoinst_tpu.ncuts.device_solver import connected_components
+
+    rng = np.random.default_rng(5)
+    N = 128
+    Ws, valids, expected = [], [], []
+    for c in range(3):
+        n = int(rng.integers(40, N))
+        # sparse random geometric graph: several components incl. singletons
+        pts = rng.uniform(0, 10, size=(n, 3))
+        d = np.linalg.norm(pts[:, None] - pts[None], axis=-1)
+        w = ((d < 1.2) * np.exp(-d)).astype(np.float32)
+        np.fill_diagonal(w, 1.0)
+        _, labs = cc_scipy(csr_matrix(w), directed=False)
+        wp = np.zeros((N, N), np.float32)
+        wp[:n, :n] = w
+        v = np.zeros(N, bool)
+        v[:n] = True
+        Ws.append(wp); valids.append(v); expected.append(labs)
+    lab = np.asarray(connected_components(jnp.asarray(np.stack(Ws)),
+                                          jnp.asarray(np.stack(valids))))
+    for c, labs in enumerate(expected):
+        n = len(labs)
+        ours = lab[c, :n]
+        # same partition (labels differ: ours are max point indices)
+        remap = {}
+        for o, s in zip(ours, labs):
+            assert remap.setdefault(o, s) == s
+        assert len(set(remap.values())) == len(remap)
+        assert (lab[c, n:] == -1).all()

@@ -204,3 +204,23 @@ class TestMixedPrecision:
         # bf16 GEMMs: loose agreement is expected
         denom = np.abs(a).mean() + 1e-6
         assert np.abs(a - b).mean() / denom < 0.15
+
+
+class TestMixedPrecisionTraining:
+    @pytest.mark.slow
+    def test_bf16_training_reduces_loss(self):
+        """bf16 backbone GEMMs with f32 params/optimizer: training still
+        converges (mixed-precision recipe for the MXU)."""
+        batch, targets = tiny_batch()
+        batch = jax.tree.map(jnp.asarray, batch)
+        targets = jax.tree.map(jnp.asarray, targets)
+        cfg = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32,
+                            lr=1e-3, batch_acc=1, compute_dtype="bfloat16")
+        state = create_train_state(jax.random.PRNGKey(0), cfg, batch)
+        losses = []
+        for step in range(12):
+            state, total, parts = train_step(
+                state, batch, targets, jax.random.PRNGKey(step), cfg)
+            losses.append(float(total))
+        assert np.all(np.isfinite(losses)), losses
+        assert np.mean(losses[-3:]) < np.mean(losses[:2]), losses

@@ -76,3 +76,22 @@ def test_self_train_data_export(scene, tmp_path_factory):
     assert n > 0
     assert len(data["ncut_labels"]) == n
     assert data["pts"].shape[1] == 3
+
+
+@pytest.mark.slow
+def test_pipeline_device_backend(scene, tmp_path_factory):
+    """Full pipeline through the device-resident worklist (CC seeding +
+    tiered queues) — the production TPU path, on the CPU backend."""
+    root, _, objects = scene
+    out = tmp_path_factory.mktemp("out_device")
+    cfg = _cfg(root, out, config_tarl_spatial)
+    cfg.ncut_method = "lobpcg"
+    cfg.ncut_backend = "device"
+    cfg.batched_chunks = True
+    results = run(cfg, dataset_factory=lambda seq: create_kitti_odometry_dataset(
+        root, seq, ncuts_mode=True))
+    seq_stats = results[0]["sequence"]
+    assert seq_stats["p"] > 0.7, seq_stats
+    assert seq_stats["r"] > 0.7, seq_stats
+    assert seq_stats["ap0.5"] > 0.6, seq_stats
+    assert seq_stats["S_assoc"] > 0.6, seq_stats
