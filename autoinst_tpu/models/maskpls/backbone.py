@@ -128,6 +128,11 @@ class MinkUNet(nn.Module):
     channels: Sequence[int] = (32, 32, 64, 128, 256, 256, 128, 96, 96)
     n_classes: int = 1  # class-agnostic refiner (reference mink.py:18)
     dtype: type = jnp.float32  # GEMM compute dtype (bf16 for MXU speed)
+    # rematerialize conv blocks in backward (jax.checkpoint): the dominant
+    # training activations are the [V, 27, C] sparse-conv gathers; remat
+    # recomputes them instead of storing, trading ~1 extra forward for the
+    # HBM that otherwise OOMs 60k-point chunks on a 16G chip
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False):
@@ -139,29 +144,56 @@ class MinkUNet(nn.Module):
         """
         cs = self.channels
         L = batch["levels"]  # list of dicts
+        # remat wrappers get EXPLICIT names equal to the auto-assigned ones
+        # of the plain modules, so the parameter tree (and torch-converter
+        # mapping) is identical whether remat is on or off
+        if self.remat:
+            _RB = nn.remat(ResidualBlock, static_argnums=(4,))
+            _SC, _DC, _UC = (nn.remat(SparseConv), nn.remat(DownConv),
+                             nn.remat(UpConv))
+        else:
+            _RB, _SC, _DC, _UC = (ResidualBlock, SparseConv, DownConv,
+                                  UpConv)
+        counts = {"SparseConv": 0, "DownConv": 0, "UpConv": 0,
+                  "ResidualBlock": 0}
+
+        def named(cls, kind, *args):
+            name = f"{kind}_{counts[kind]}"
+            counts[kind] += 1
+            return cls(*args, name=name)
+
+        def SC(*args):
+            return named(_SC, "SparseConv", *args)
+
+        def DC(*args):
+            return named(_DC, "DownConv", *args)
+
+        def UC(*args):
+            return named(_UC, "UpConv", *args)
+
+        def RB(*args):
+            return named(_RB, "ResidualBlock", *args)
 
         def res2(x, lvl, c1, c2):
-            x = ResidualBlock(c1, self.dtype)(x, lvl["nbr3"], lvl["valid"],
-                                              train)
-            return ResidualBlock(c2, self.dtype)(x, lvl["nbr3"],
-                                                 lvl["valid"], train)
+            x = RB(c1, self.dtype)(x, lvl["nbr3"], lvl["valid"], train)
+            return RB(c2, self.dtype)(x, lvl["nbr3"], lvl["valid"], train)
 
         def down(x, lvl_from, lvl_to, cout):
-            h = DownConv(cout, self.dtype)(x, lvl_from["child"])
+            h = DC(cout, self.dtype)(x, lvl_from["child"])
             h = MaskedBatchNorm()(h, lvl_to["valid"], train)
             return nn.leaky_relu(h, 0.01)
 
         def up(x_coarse, fine_lvl, cout):
             # fine_lvl["parent"/"parent_off"] map fine voxels -> coarse parent
-            h = UpConv(cout)(x_coarse, fine_lvl["parent"],
-                             fine_lvl["parent_off"])
+            h = UC(cout)(x_coarse, fine_lvl["parent"],
+                         fine_lvl["parent_off"])
             h = MaskedBatchNorm()(h, fine_lvl["valid"], train)
             return nn.leaky_relu(h, 0.01)
 
         # stem (level 0)
-        x = SparseConv(cs[0], self.dtype)(batch["vox_feats"], L[0]["nbr3"])
+        x = SC(cs[0], self.dtype)(batch["vox_feats"], L[0]["nbr3"])
         x = nn.relu(MaskedBatchNorm()(x, L[0]["valid"], train))
-        x = SparseConv(cs[0], self.dtype)(x, L[0]["nbr3"])
+        x = SC(cs[0], self.dtype)(x, L[0]["nbr3"])
         x0 = nn.relu(MaskedBatchNorm()(x, L[0]["valid"], train))
 
         x1 = res2(down(x0, L[0], L[1], cs[0]), L[1], cs[1], cs[1])

@@ -53,6 +53,8 @@ class MaskPLSConfig:
     lr: float = 1e-4
     grad_clip: float = 0.5
     batch_acc: int = 4
+    remat: bool = False          # rematerialize backbone conv blocks
+    # (jax.checkpoint) to fit large point budgets in HBM
 
 
 class MaskPS(nn.Module):
@@ -67,7 +69,7 @@ class MaskPS(nn.Module):
             v0 + 1)[:, :v0]
         bb = MinkUNet(n_classes=self.cfg.num_classes,
                       dtype=jnp.dtype(self.cfg.compute_dtype).type,
-                      name="backbone")
+                      remat=self.cfg.remat, name="backbone")
         feats, coords, pad_masks, bb_logits = bb(
             {**batch, "vox_feats": vox_feats}, train=train)
         dec = MaskedTransformerDecoder(

@@ -224,3 +224,25 @@ class TestMixedPrecisionTraining:
             losses.append(float(total))
         assert np.all(np.isfinite(losses)), losses
         assert np.mean(losses[-3:]) < np.mean(losses[:2]), losses
+
+
+def test_remat_is_pure_memory_knob():
+    """remat=True must not change the parameter tree (names/shapes) nor
+    the forward values — it only reduces backward HBM."""
+    import flax
+    batch, _ = tiny_batch()
+    batch = jax.tree.map(jnp.asarray, batch)
+    cfg0 = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32)
+    cfg1 = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32,
+                         remat=True)
+    from autoinst_tpu.models.maskpls.model import MaskPS
+    m0, m1 = MaskPS(cfg0), MaskPS(cfg1)
+    v0 = m0.init(jax.random.PRNGKey(0), batch, train=False)
+    v1 = m1.init(jax.random.PRNGKey(0), batch, train=False)
+    f0 = flax.traverse_util.flatten_dict(v0["params"], sep="/")
+    f1 = flax.traverse_util.flatten_dict(v1["params"], sep="/")
+    assert set(f0) == set(f1)
+    out0, _, _ = m0.apply(v0, batch, train=False)
+    out1, _, _ = m1.apply(v0, batch, train=False)
+    np.testing.assert_array_equal(np.asarray(out0["pred_masks"]),
+                                  np.asarray(out1["pred_masks"]))
