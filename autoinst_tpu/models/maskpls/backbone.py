@@ -133,6 +133,11 @@ class MinkUNet(nn.Module):
     # recomputes them instead of storing, trading ~1 extra forward for the
     # HBM that otherwise OOMs 60k-point chunks on a 16G chip
     remat: bool = False
+    # voxel->point interpolation: "grid" restricts k-NN candidates to the
+    # 27-neighborhood of each point's containing voxel (O(N*27), exact
+    # whenever >= k occupied voxels lie in that cube); "exact" is the
+    # brute-force O(N*V) k-NN matching the reference's KeOps search
+    knn_mode: str = "grid"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False):
@@ -211,11 +216,23 @@ class MinkUNet(nn.Module):
         y4 = res2(jnp.concatenate([y4, x0], -1), L[0], cs[8], cs[8])
 
         # kNN-up each level's voxel features onto the points + BatchNorm
+        if self.knn_mode == "grid":
+            # containing voxel per point at each level via the parent chain
+            pvs = [batch["point_voxel"]]
+            for l in range(len(L) - 1):
+                parent = L[l]["parent"]                  # [B, V_l]
+                prev = jnp.minimum(pvs[-1], parent.shape[1] - 1)
+                pvs.append(jnp.take_along_axis(parent, prev, axis=1))
         out = []
         for lvl_id, feats in ((3, y1), (2, y2), (1, y3), (0, y4)):
             lvl = L[lvl_id]
-            pf = jax.vmap(sparse.knn_up, in_axes=(0, 0, 0, 0))(
-                lvl["coords"], lvl["valid"], feats, batch["pt_coords"])
+            if self.knn_mode == "grid":
+                pf = jax.vmap(sparse.knn_up_grid)(
+                    lvl["coords"], feats, batch["pt_coords"], pvs[lvl_id],
+                    lvl["nbr3"])
+            else:
+                pf = jax.vmap(sparse.knn_up, in_axes=(0, 0, 0, 0))(
+                    lvl["coords"], lvl["valid"], feats, batch["pt_coords"])
             pf = MaskedBatchNorm()(pf, batch["pt_valid"], train)
             out.append(pf)
 

@@ -55,6 +55,7 @@ class MaskPLSConfig:
     batch_acc: int = 4
     remat: bool = False          # rematerialize backbone conv blocks
     # (jax.checkpoint) to fit large point budgets in HBM
+    knn_mode: str = "grid"       # voxel->point kNN-up: "grid" | "exact"
 
 
 class MaskPS(nn.Module):
@@ -69,7 +70,8 @@ class MaskPS(nn.Module):
             v0 + 1)[:, :v0]
         bb = MinkUNet(n_classes=self.cfg.num_classes,
                       dtype=jnp.dtype(self.cfg.compute_dtype).type,
-                      remat=self.cfg.remat, name="backbone")
+                      remat=self.cfg.remat, knn_mode=self.cfg.knn_mode,
+                      name="backbone")
         feats, coords, pad_masks, bb_logits = bb(
             {**batch, "vox_feats": vox_feats}, train=train)
         dec = MaskedTransformerDecoder(

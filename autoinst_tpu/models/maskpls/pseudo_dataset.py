@@ -84,12 +84,18 @@ class PseudoDataset:
         return xyz
 
 
-def collate(items: list, res: float, v0: int, n_points: int, t_max: int):
-    """Static-shape batch: (model_batch, targets)."""
+def collate(items: list, res: float, v0: int, n_points: int, t_max: int,
+            level_widths: list | None = None):
+    """Static-shape batch: (model_batch, targets).
+
+    level_widths (optional): uniform per-level voxel widths (see
+    dataset_level_widths) so every batch of a training run shares one
+    compiled executable."""
     plans, pts_list, feats_list = [], [], []
     for it in items:
         coords = sparse.quantize_points(it["xyz"], res)
-        plans.append(sparse.build_plan(coords, v0))
+        plans.append(sparse.build_plan(coords, v0,
+                                       level_widths=level_widths))
         pts_list.append(it["xyz"].astype(np.float32))
         feats_list.append(it["feats"].astype(np.float32))
     batch = sparse.plans_to_batch(plans, pts_list, feats_list, res, n_points)
@@ -107,3 +113,25 @@ def collate(items: list, res: float, v0: int, n_points: int, t_max: int):
     targets = {"classes": classes, "masks": masks, "valid": valid,
                "point_valid": batch["pt_valid"]}
     return batch, targets
+
+
+def dataset_level_widths(dataset: PseudoDataset, res: float, v0: int,
+                         num_levels: int = 5) -> list:
+    """Uniform static level widths covering every chunk in the dataset.
+
+    One pass of cheap unique-coordinate counting (no neighbor maps); the
+    result makes collate() produce identical padded shapes for all chunks,
+    so the jitted train step compiles exactly once per run. Counts are
+    taken WITHOUT the random training subsample, so they upper-bound any
+    subsampled epoch.
+    """
+    max_counts = [0] * num_levels
+    for f in dataset.files:
+        with np.load(f) as data:
+            xyz = data["pts"].astype(np.float64)
+        xyz = xyz - xyz.mean(axis=0)
+        q = sparse.quantize_points(xyz, res)
+        for lvl, c in enumerate(sparse.plan_level_counts(q, num_levels)):
+            max_counts[lvl] = max(max_counts[lvl], c)
+    return [sparse.level_budget(v0 >> lvl, c)
+            for lvl, c in enumerate(max_counts)]

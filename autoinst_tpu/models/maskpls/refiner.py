@@ -26,10 +26,16 @@ from autoinst_tpu.utils.pointcloud import PointCloud
 class RefinerModel:
     def __init__(self, dataset: str = "kitti", weights_path: str = "",
                  cfg: MaskPLSConfig = MaskPLSConfig(), v0: int = 65536,
-                 n_points: int = 61440):
+                 n_points: int = 61440, level_widths: list | None = None):
+        """level_widths: optional fixed per-level voxel widths so every
+        chunk shares one compiled forward executable (otherwise widths are
+        data-dependent and each new occupancy pattern recompiles; on the
+        axon transport, re-executing an older executable after a newer
+        compile also crashes the worker -- see NOTES_ROUND1.md)."""
         self.cfg = cfg
         self.v0 = v0
         self.n_points = n_points
+        self.level_widths = level_widths
         self.model = MaskPS(cfg)
         self.confs_dict = {}
         self.variables = None
@@ -57,7 +63,8 @@ class RefinerModel:
 
     def _make_batch(self, xyz: np.ndarray):
         coords = sparse.quantize_points(xyz, self.cfg.resolution)
-        plan = sparse.build_plan(coords, self.v0)
+        plan = sparse.build_plan(coords, self.v0,
+                                 level_widths=self.level_widths)
         feats = np.concatenate([xyz, np.ones((len(xyz), 1))], 1)
         batch = sparse.plans_to_batch([plan], [xyz.astype(np.float32)],
                                       [feats.astype(np.float32)],

@@ -64,30 +64,56 @@ def _pad_rows(a: np.ndarray, v: int, fill) -> np.ndarray:
     return out
 
 
-def build_plan(coords_int: np.ndarray, v0: int, num_levels: int = 5
-               ) -> VoxelPlan:
+def plan_level_counts(coords_int: np.ndarray, num_levels: int = 5) -> list:
+    """Occupied-voxel count per level for the given level-0 integer coords.
+
+    Cheap pre-scan (np.unique per level, no neighbor maps) used to pick
+    uniform static level widths across a whole dataset, so every sample
+    shares ONE compiled executable (XLA recompiles per distinct shape set;
+    data-dependent widths would mean one compile per chunk)."""
+    cur = np.unique(np.asarray(coords_int, np.int64), axis=0)
+    counts = []
+    for lvl in range(num_levels):
+        counts.append(len(cur))
+        if lvl + 1 < num_levels:
+            cur = np.unique(cur // 2, axis=0)
+    return counts
+
+
+def level_budget(nominal: int, count: int) -> int:
+    """Static width for a level: the nominal power-of-two budget, doubled
+    until it fits `count` occupied voxels."""
+    b = max(nominal, 64)
+    while b < count:
+        b *= 2
+    return b
+
+
+def build_plan(coords_int: np.ndarray, v0: int, num_levels: int = 5,
+               level_widths: list | None = None) -> VoxelPlan:
     """Build the multi-level coordinate plan from level-0 integer coords.
 
     v0: static voxel budget of level 0; level l gets v0 >> l (sparse LiDAR
-    occupancy roughly halves per stride-2 level).
+    occupancy roughly halves per stride-2 level). level_widths (optional):
+    fixed per-level minimum widths (from plan_level_counts over a dataset)
+    so all samples share one padded shape set; a sample that still exceeds
+    a fixed width grows to the next power of two (rare recompile, never
+    wrong).
     """
     coords_int = np.asarray(coords_int, np.int64)
     origin = coords_int.min(axis=0)
     coords_int = coords_int - origin  # nonnegative
 
-    def budget(nominal, count):
-        # auto-bump to the next power of two when occupancy beats the
-        # nominal halving schedule (sparse uniform clouds merge slowly)
-        b = max(nominal, 64)
-        while b < count:
-            b *= 2
-        return b
+    def budget(nominal, count, lvl):
+        if level_widths is not None:
+            nominal = max(nominal, level_widths[lvl])
+        return level_budget(nominal, count)
 
     levels = []
     cur, point_voxel = np.unique(coords_int, axis=0, return_inverse=True)
     pv = point_voxel
     for lvl in range(num_levels):
-        v = budget(v0 >> lvl, len(cur))
+        v = budget(v0 >> lvl, len(cur), lvl)
         dims = cur.max(axis=0) + 2
         keys = _keys(cur, dims)
         order = np.argsort(keys)
@@ -108,7 +134,7 @@ def build_plan(coords_int: np.ndarray, v0: int, num_levels: int = 5
 
         if lvl + 1 < num_levels:
             nxt, parent = np.unique(cur // 2, axis=0, return_inverse=True)
-            v_next = budget(v0 >> (lvl + 1), len(nxt))
+            v_next = budget(v0 >> (lvl + 1), len(nxt), lvl + 1)
             # children map: for each next-level voxel, its 8 fine voxels
             child = np.full((len(nxt), 8), v, np.int64)
             rel = cur - nxt[parent] * 2                 # (0|1)^3 per voxel
@@ -189,6 +215,42 @@ def knn_up(vox_coords: jax.Array, vox_valid: jax.Array, vox_feats: jax.Array,
     w = 1.0 / (d2 + 1e-8)
     w = w / jnp.sum(w, axis=1, keepdims=True)
     return jnp.sum(vox_feats[idx] * w[:, :, None], axis=1)
+
+
+def knn_up_grid(vox_coords: jax.Array, vox_feats: jax.Array,
+                pt_coords: jax.Array, pt_voxel: jax.Array, nbr3: jax.Array,
+                k: int = 3) -> jax.Array:
+    """Grid-accelerated kNN-up: O(N*27) instead of the O(N*V) brute force.
+
+    Candidate neighbors for each point are the 27-neighborhood (`nbr3`) of
+    the point's containing voxel at this level -- which is occupied by
+    construction (voxels exist exactly where points are). Exact k-NN
+    whenever >= k occupied voxels lie in that 3^3 cube; in sparser
+    neighborhoods it degenerates toward the available candidates, whose
+    missing far-away alternatives carry negligible 1/d^2 weight.
+
+    vox_coords [V,3] meters; vox_feats [V,C]; pt_coords [N,3];
+    pt_voxel [N] containing-voxel index at this level (sentinel >= V for
+    padded points -- their output is garbage and masked downstream);
+    nbr3 [V,27] neighbor map with sentinel V.
+    """
+    v, c = vox_feats.shape
+    pv = jnp.minimum(pt_voxel, v - 1)
+    cand = nbr3[pv]                                     # [N, 27]
+    coords_ext = jnp.concatenate(
+        [vox_coords, jnp.zeros((1, 3), vox_coords.dtype)], axis=0)
+    cc = coords_ext[cand]                               # [N, 27, 3]
+    d2 = jnp.sum((pt_coords[:, None, :] - cc) ** 2, axis=-1)
+    d2 = jnp.where(cand >= v, jnp.inf, d2)              # missing neighbors
+    neg, sel = jax.lax.top_k(-d2, k)
+    idx = jnp.take_along_axis(cand, sel, axis=1)        # [N, k]
+    w = 1.0 / (-neg + 1e-8)                             # inf distance -> 0
+    # padded points land on a pad voxel whose nbr3 is all-sentinel: w sums
+    # to 0 there; the guard yields 0 output instead of 0/0 = NaN
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-30)
+    feats_ext = jnp.concatenate(
+        [vox_feats, jnp.zeros((1, c), vox_feats.dtype)], axis=0)
+    return jnp.sum(feats_ext[jnp.minimum(idx, v)] * w[:, :, None], axis=1)
 
 
 def quantize_points(points: np.ndarray, res: float) -> np.ndarray:

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from autoinst_tpu.models.maskpls.model import (MaskPLSConfig,
                                                create_train_state,
                                                train_step)
-from autoinst_tpu.models.maskpls.pseudo_dataset import PseudoDataset, collate
+from autoinst_tpu.models.maskpls.pseudo_dataset import (
+    PseudoDataset, collate, dataset_level_widths)
 
 
 def save_checkpoint(path: str, state):
@@ -72,6 +73,13 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
     os.makedirs(ckpt_dir, exist_ok=True)
     log_path = os.path.join(ckpt_dir, "train_log.jsonl")
 
+    # uniform static shapes across the whole run: ONE compile of the train
+    # step instead of one per distinct chunk occupancy (XLA recompiles per
+    # shape set; per-chunk widths also hit an axon-transport bug where
+    # re-executing an older executable after a newer compile fails)
+    level_widths = dataset_level_widths(dataset, cfg.resolution, v0)
+    print(f"uniform level widths: {level_widths}")
+
     def batches():
         order = np.random.default_rng(seed).permutation(len(dataset))
         for i in order:
@@ -80,7 +88,7 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
                 continue  # skip chunks without instances (pseudo_dataset
                 # reference :215-222 resamples; we skip)
             batch, targets = collate([item], cfg.resolution, v0, n_points,
-                                     t_max)
+                                     t_max, level_widths=level_widths)
             yield (jax.tree.map(jnp.asarray, batch),
                    jax.tree.map(jnp.asarray, targets))
 
@@ -130,9 +138,12 @@ def main():
     ap.add_argument("--resume", default="")
     ap.add_argument("--n-points", type=int, default=81920)
     ap.add_argument("--v0", type=int, default=65536)
+    ap.add_argument("--ckpt-every", type=int, default=1,
+                    help="checkpoint every N epochs")
     args = ap.parse_args()
     train(args.data, epochs=args.epochs, ckpt_dir=args.ckpt_dir,
-          resume=args.resume, n_points=args.n_points, v0=args.v0)
+          resume=args.resume, n_points=args.n_points, v0=args.v0,
+          ckpt_every=args.ckpt_every)
 
 
 if __name__ == "__main__":
