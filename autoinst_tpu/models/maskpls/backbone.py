@@ -138,6 +138,15 @@ class MinkUNet(nn.Module):
     # whenever >= k occupied voxels lie in that cube); "exact" is the
     # brute-force O(N*V) k-NN matching the reference's KeOps search
     knn_mode: str = "grid"
+    # return the finest-level voxel features [B, V0, cs[8]] instead of the
+    # per-level point features (TARL-style backbone, reference
+    # Pointcloud-Models/tarl/minkunet.py:166-199 returns y4 directly); no
+    # knn-up BatchNorms or semantic head parameters are created
+    voxel_output: bool = False
+    # activation of the stride-2 down/up conv blocks: MaskPLS uses
+    # LeakyReLU (mink.py:211,227), the TARL MinkUNet plain ReLU
+    # (tarl/minkunet.py:18,36)
+    updown_act: str = "leaky_relu"
 
     @nn.compact
     def __call__(self, batch: dict, train: bool = False):
@@ -183,17 +192,20 @@ class MinkUNet(nn.Module):
             x = RB(c1, self.dtype)(x, lvl["nbr3"], lvl["valid"], train)
             return RB(c2, self.dtype)(x, lvl["nbr3"], lvl["valid"], train)
 
+        act = (nn.relu if self.updown_act == "relu"
+               else lambda h: nn.leaky_relu(h, 0.01))
+
         def down(x, lvl_from, lvl_to, cout):
             h = DC(cout, self.dtype)(x, lvl_from["child"])
             h = MaskedBatchNorm()(h, lvl_to["valid"], train)
-            return nn.leaky_relu(h, 0.01)
+            return act(h)
 
         def up(x_coarse, fine_lvl, cout):
             # fine_lvl["parent"/"parent_off"] map fine voxels -> coarse parent
             h = UC(cout)(x_coarse, fine_lvl["parent"],
                          fine_lvl["parent_off"])
             h = MaskedBatchNorm()(h, fine_lvl["valid"], train)
-            return nn.leaky_relu(h, 0.01)
+            return act(h)
 
         # stem (level 0)
         x = SC(cs[0], self.dtype)(batch["vox_feats"], L[0]["nbr3"])
@@ -214,6 +226,9 @@ class MinkUNet(nn.Module):
         y3 = res2(jnp.concatenate([y3, x1], -1), L[1], cs[7], cs[7])
         y4 = up(y3, L[0], cs[8])            # to level 0
         y4 = res2(jnp.concatenate([y4, x0], -1), L[0], cs[8], cs[8])
+
+        if self.voxel_output:
+            return y4
 
         # kNN-up each level's voxel features onto the points + BatchNorm
         if self.knn_mode == "grid":

@@ -43,8 +43,13 @@ def _conv(src, perm):
     return src[perm].reshape(k * ci, co)
 
 
-def _rules_backbone():
-    """Ordered (torch_key_base, flax_path, kind) triples for the backbone."""
+def _rules_backbone(include_heads: bool = True, scope: str = "backbone"):
+    """Ordered (torch_key_base, flax_path, kind) triples for the backbone.
+
+    include_heads=False: the TARL MinkUNet layout
+    (Pointcloud-Models/tarl/minkunet.py:84-199) -- identical stem/stage/up
+    naming, but no per-level out_bnorm and no sem_head (our
+    MinkUNet(voxel_output=True) creates the matching parameter tree)."""
     rules = []
     bn_top = 0  # top-level MaskedBatchNorm counter (call order)
     rb = 0      # ResidualBlock counter
@@ -53,27 +58,27 @@ def _rules_backbone():
         return [(torch_base, flax_scope, "bn")]
 
     # stem: conv-BN-relu x2 (mink.py:25-32)
-    rules += [("stem.0", "backbone/SparseConv_0", "conv3")]
-    rules += bn("stem.1.bn", f"backbone/MaskedBatchNorm_{bn_top}"); bn_top += 1
-    rules += [("stem.3", "backbone/SparseConv_1", "conv3")]
-    rules += bn("stem.4.bn", f"backbone/MaskedBatchNorm_{bn_top}"); bn_top += 1
+    rules += [("stem.0", f"{scope}/SparseConv_0", "conv3")]
+    rules += bn("stem.1.bn", f"{scope}/MaskedBatchNorm_{bn_top}"); bn_top += 1
+    rules += [("stem.3", f"{scope}/SparseConv_1", "conv3")]
+    rules += bn("stem.4.bn", f"{scope}/MaskedBatchNorm_{bn_top}"); bn_top += 1
 
     def residual(torch_base, rb_idx, has_skip):
-        out = [(f"{torch_base}.net.0", f"backbone/ResidualBlock_{rb_idx}/SparseConv_0", "conv3"),
-               (f"{torch_base}.net.1.bn", f"backbone/ResidualBlock_{rb_idx}/MaskedBatchNorm_0", "bn"),
-               (f"{torch_base}.net.3", f"backbone/ResidualBlock_{rb_idx}/SparseConv_1", "conv3"),
-               (f"{torch_base}.net.4.bn", f"backbone/ResidualBlock_{rb_idx}/MaskedBatchNorm_1", "bn")]
+        out = [(f"{torch_base}.net.0", f"{scope}/ResidualBlock_{rb_idx}/SparseConv_0", "conv3"),
+               (f"{torch_base}.net.1.bn", f"{scope}/ResidualBlock_{rb_idx}/MaskedBatchNorm_0", "bn"),
+               (f"{torch_base}.net.3", f"{scope}/ResidualBlock_{rb_idx}/SparseConv_1", "conv3"),
+               (f"{torch_base}.net.4.bn", f"{scope}/ResidualBlock_{rb_idx}/MaskedBatchNorm_1", "bn")]
         if has_skip:
-            out += [(f"{torch_base}.downsample.0", f"backbone/ResidualBlock_{rb_idx}/Dense_0", "conv1"),
-                    (f"{torch_base}.downsample.1.bn", f"backbone/ResidualBlock_{rb_idx}/MaskedBatchNorm_2", "bn")]
+            out += [(f"{torch_base}.downsample.0", f"{scope}/ResidualBlock_{rb_idx}/Dense_0", "conv1"),
+                    (f"{torch_base}.downsample.1.bn", f"{scope}/ResidualBlock_{rb_idx}/MaskedBatchNorm_2", "bn")]
         return out
 
     # encoder stages (mink.py:34-56): down conv + 2 residuals
     stage_ch = [(CS[0], CS[1]), (CS[1], CS[2]), (CS[2], CS[3]), (CS[3], CS[4])]
     for s, (cin, cout) in enumerate(stage_ch, start=1):
-        rules += [(f"stage{s}.0.net.0", f"backbone/DownConv_{s-1}", "conv2")]
+        rules += [(f"stage{s}.0.net.0", f"{scope}/DownConv_{s-1}", "conv2")]
         rules += bn(f"stage{s}.0.net.1.bn",
-                    f"backbone/MaskedBatchNorm_{bn_top}"); bn_top += 1
+                    f"{scope}/MaskedBatchNorm_{bn_top}"); bn_top += 1
         rules += residual(f"stage{s}.1", rb, cin != cout); rb += 1
         rules += residual(f"stage{s}.2", rb, False); rb += 1
 
@@ -81,18 +86,19 @@ def _rules_backbone():
     up_ch = [(CS[4], CS[5], CS[3]), (CS[5], CS[6], CS[2]),
              (CS[6], CS[7], CS[1]), (CS[7], CS[8], CS[0])]
     for u, (cin, cout, skip) in enumerate(up_ch, start=1):
-        rules += [(f"up{u}.0.net.0", f"backbone/UpConv_{u-1}", "convT2")]
+        rules += [(f"up{u}.0.net.0", f"{scope}/UpConv_{u-1}", "convT2")]
         rules += bn(f"up{u}.0.net.1.bn",
-                    f"backbone/MaskedBatchNorm_{bn_top}"); bn_top += 1
+                    f"{scope}/MaskedBatchNorm_{bn_top}"); bn_top += 1
         rules += residual(f"up{u}.1.0", rb, True); rb += 1   # cout+skip != cout
         rules += residual(f"up{u}.1.1", rb, False); rb += 1
 
-    # per-level point BatchNorms (mink.py:100-101)
-    for i in range(4):
-        rules += bn(f"out_bnorm.{i}",
-                    f"backbone/MaskedBatchNorm_{bn_top}"); bn_top += 1
-    # semantic head (mink.py:98)
-    rules += [("sem_head", "backbone/Dense_0", "linear")]
+    if include_heads:
+        # per-level point BatchNorms (mink.py:100-101)
+        for i in range(4):
+            rules += bn(f"out_bnorm.{i}",
+                        f"{scope}/MaskedBatchNorm_{bn_top}"); bn_top += 1
+        # semantic head (mink.py:98)
+        rules += [("sem_head", f"{scope}/Dense_0", "linear")]
     return rules
 
 
@@ -159,11 +165,10 @@ def _keys_for(base, kind):
     raise ValueError(kind)
 
 
-def convert_state_dict(state: dict, template_variables,
-                       prefix_backbone="backbone.",
-                       prefix_decoder="decoder."):
+def _convert(state: dict, template_variables, rule_groups):
     """Fill `template_variables` (from model.init) with torch weights.
 
+    rule_groups: list of (prefix, rules) pairs.
     Raises KeyError/ValueError with the offending name on any mismatch."""
     import flax
 
@@ -221,10 +226,9 @@ def convert_state_dict(state: dict, template_variables,
         else:
             raise ValueError(kind)
 
-    for base, scope, kind in _rules_backbone():
-        apply(prefix_backbone + base, scope, kind)
-    for base, scope, kind in _rules_decoder():
-        apply(prefix_decoder + base, scope, kind)
+    for prefix, rules in rule_groups:
+        for base, scope, kind in rules:
+            apply(prefix + base, scope, kind)
 
     import jax.numpy as jnp
     out = {"params": flax.traverse_util.unflatten_dict(
@@ -233,3 +237,33 @@ def convert_state_dict(state: dict, template_variables,
         out["batch_stats"] = flax.traverse_util.unflatten_dict(
             {tuple(k.split("/")): jnp.asarray(v) for k, v in stats.items()})
     return out
+
+
+def convert_state_dict(state: dict, template_variables,
+                       prefix_backbone="backbone.",
+                       prefix_decoder="decoder."):
+    """MaskPLS checkpoint (MinkEncoderDecoder + MaskedTransformerDecoder)."""
+    return _convert(state, template_variables,
+                    [(prefix_backbone, _rules_backbone()),
+                     (prefix_decoder, _rules_decoder())])
+
+
+def _rules_tarl():
+    """TARL MinkUNet rules: backbone layout sans heads, paths rooted at the
+    module itself (MinkUNet.init puts children at the tree top level)."""
+    return [(b, s[len("backbone/"):], k)
+            for b, s, k in _rules_backbone(include_heads=False)]
+
+
+def convert_tarl_state_dict(state: dict, template_variables, prefix=""):
+    """TARL MinkUNet checkpoint (tarl.pt `checkpoint["model"]`,
+    Pointcloud-Models/tarl/tarl_extractor.py:37-38) onto a
+    MinkUNet(voxel_output=True, updown_act="relu") template."""
+    return _convert(state, template_variables, [(prefix, _rules_tarl())])
+
+
+def expected_tarl_keys(prefix=""):
+    keys = []
+    for base, _, kind in _rules_tarl():
+        keys += _keys_for(prefix + base, kind)
+    return keys

@@ -17,6 +17,7 @@ tunnel crash mid-run loses only the part in flight; rerun to continue.
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -58,14 +59,23 @@ def synth_scene(seed, n_points, n_inst=30):
             "ins_labels": ins}
 
 
-def timed(fn, reps, *args):
+def _force(out):
+    """Force completion with a real device->host fetch (block_until_ready
+    alone may not round-trip on the tunneled axon transport)."""
     import jax
-    out = fn(*args)  # compile
-    jax.block_until_ready(out)
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
+def timed(fn, reps, *args):
+    """Mean seconds per call: `reps` queued executions + ONE final fetch
+    (use reps large enough to amortize the tunnel round trip)."""
+    fn_out = fn(*args)  # compile
+    _force(fn_out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _force(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -76,9 +86,15 @@ def main():
     # everything); with multiple parts, run each in its own subprocess.
     argv = list(sys.argv[1:])
     if "--parts" not in argv:
-        argv += ["--parts", "full,fwd,backbone,knn,loss,match"]
+        argv += ["--parts", "full,fwd,fwdonly,backbone,knn,loss,match"]
     i = argv.index("--parts")
-    parts = argv[i + 1].split(",")
+    parts = []
+    for p in argv[i + 1].split(","):
+        if p == "knn":  # expand: one (mode, level) per subprocess
+            parts += [f"knn:{m}:{l}" for m in ("grid", "exact")
+                      for l in (0, 1, 2, 3)]
+        else:
+            parts.append(p)
     if len(parts) > 1:
         results = {}
         for p in parts:
@@ -143,7 +159,7 @@ def _run_one():
     results = {}
 
     state = None
-    if {"full", "fwd", "backbone", "loss", "match"} & set(parts):
+    if {"full", "fwd", "fwdonly", "backbone"} & set(parts):
         log("init params...")
         state = create_train_state(jax.random.PRNGKey(0), cfg, batch)
         log("init done")
@@ -175,6 +191,7 @@ def _run_one():
         results["loss_fn_forward"] = t
         log(f"loss_fn_forward: {t:.3f} s")
 
+    if "fwdonly" in parts:
         @jax.jit
         def fwd_only(params, stats, b):
             out, _ = model.apply({"params": params, "batch_stats": stats},
@@ -207,47 +224,54 @@ def _run_one():
         results["backbone_forward"] = t
         log(f"backbone_forward: {t:.3f} s")
 
-    if "knn" in parts:
-        # knn_up per level, standalone, with the backbone's real shapes:
-        # both the exact brute force and the grid-restricted variant
-        @jax.jit
-        def kup(co, va, fe, pc):
-            return jax.vmap(sparse.knn_up)(co, va, fe, pc)
+    for p in parts:
+        # knn:<mode>:<level> -- one jit per subprocess (axon executable
+        # budget), standalone with the backbone's real shapes
+        if not p.startswith("knn:"):
+            continue
+        _, mode, lvl_s = p.split(":")
+        lvl_id = int(lvl_s)
+        lvl = batch["levels"][lvl_id]
+        c = {4: 256, 3: 256, 2: 128, 1: 96, 0: 96}[lvl_id]
+        feats = jnp.ones(lvl["coords"].shape[:2] + (c,), jnp.float32)
+        if mode == "exact":
+            @jax.jit
+            def kup(co, va, fe, pc):
+                return jax.vmap(sparse.knn_up)(co, va, fe, pc)
+            t = timed(kup, args.reps, lvl["coords"], lvl["valid"],
+                      feats, batch["pt_coords"])
+        else:
+            pvs = [batch_np["point_voxel"]]
+            for l in range(lvl_id):
+                parent = batch_np["levels"][l]["parent"]
+                prev = np.minimum(pvs[-1], parent.shape[1] - 1)
+                pvs.append(np.take_along_axis(parent, prev, axis=1))
 
-        @jax.jit
-        def kup_grid(co, fe, pc, pv, nbr):
-            return jax.vmap(sparse.knn_up_grid)(co, fe, pc, pv, nbr)
-
-        pvs = [batch["point_voxel"]]
-        for l in range(len(batch["levels"]) - 1):
-            parent = batch["levels"][l]["parent"]
-            prev = jnp.minimum(pvs[-1], parent.shape[1] - 1)
-            pvs.append(jnp.take_along_axis(parent, prev, axis=1))
-
-        for name, total_key in (("exact", "knn_up_total"),
-                                ("grid", "knn_up_grid_total")):
-            total_knn = 0.0
-            for lvl_id in (3, 2, 1, 0):
-                lvl = batch["levels"][lvl_id]
-                c = {3: 256, 2: 128, 1: 96, 0: 96}[lvl_id]
-                feats = jnp.ones(lvl["coords"].shape[:2] + (c,), jnp.float32)
-                if name == "exact":
-                    t = timed(kup, args.reps, lvl["coords"], lvl["valid"],
-                              feats, batch["pt_coords"])
-                else:
-                    t = timed(kup_grid, args.reps, lvl["coords"], feats,
-                              batch["pt_coords"], pvs[lvl_id], lvl["nbr3"])
-                total_knn += t
-                log(f"knn_up[{name}] level {lvl_id} "
-                    f"(V={lvl['coords'].shape[1]}): {t:.3f} s")
-            results[total_key] = total_knn
-            log(f"{total_key}: {total_knn:.3f} s")
+            @jax.jit
+            def kup_grid(co, fe, pc, pv, nbr):
+                return jax.vmap(sparse.knn_up_grid)(co, fe, pc, pv, nbr)
+            t = timed(kup_grid, args.reps, lvl["coords"], feats,
+                      batch["pt_coords"], jnp.asarray(pvs[lvl_id]),
+                      lvl["nbr3"])
+        key = f"knn_{mode}_l{lvl_id}"
+        results[key] = t
+        log(f"{key} (V={lvl['coords'].shape[1]}): {t:.3f} s")
 
     if "loss" in parts or "match" in parts:
-        out0, _ = jax.jit(lambda p, s: model.apply(
-            {"params": p, "batch_stats": s}, batch, train=True,
-            mutable=["batch_stats"]))(state.params, state.batch_stats)
-        outputs = jax.tree.map(jax.block_until_ready, out0[0])
+        # synthetic decoder outputs (no model forward: stays within the
+        # axon per-process executable budget); values realistic enough for
+        # timing -- LSAP iteration counts are data-dependent but bounded
+        nl = 10
+        q1 = args.queries
+        rng_np = np.random.default_rng(0)
+
+        def synth_out():
+            return {"pred_logits": jnp.asarray(
+                        rng_np.normal(size=(1, q1, 2)).astype(np.float32)),
+                    "pred_masks": jnp.asarray(rng_np.normal(
+                        size=(1, args.n_points, q1)).astype(np.float32))}
+        outputs = synth_out()
+        outputs["aux_outputs"] = [synth_out() for _ in range(nl - 1)]
 
         if "loss" in parts:
             @jax.jit
@@ -258,7 +282,6 @@ def _run_one():
             log(f"mask_loss (all levels, incl match): {t:.3f} s")
 
         if "match" in parts:
-            levels = [outputs] + list(outputs.get("aux_outputs", []))
             @jax.jit
             def costs_fn(o, tg, key):
                 lv = [o] + list(o.get("aux_outputs", []))
@@ -268,7 +291,7 @@ def _run_one():
             costs = jax.block_until_ready(costs_fn(outputs, targets, rng))
             t = timed(costs_fn, args.reps, outputs, targets, rng)
             results["matching_costs"] = t
-            log(f"matching_costs ({len(levels)} levels): {t:.3f} s")
+            log(f"matching_costs ({nl} levels): {t:.3f} s")
             t = timed(jax.jit(hungarian_match), args.reps, costs)
             results["hungarian_match"] = t
             log(f"hungarian_match: {t:.3f} s")

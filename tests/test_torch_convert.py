@@ -12,7 +12,7 @@ from autoinst_tpu.models.maskpls.model import MaskPLSConfig, MaskPS
 from test_maskpls import tiny_batch
 
 
-def synthetic_torch_state(template):
+def synthetic_torch_state(template, rule_groups=None):
     """Random torch-layout tensors for every key the converter consumes,
     with shapes derived by inverting each transform."""
     import flax
@@ -20,6 +20,9 @@ def synthetic_torch_state(template):
                                                   sep="/"))
     rng = np.random.default_rng(0)
     state = {}
+    if rule_groups is None:
+        rule_groups = (("backbone.", tc._rules_backbone()),
+                       ("decoder.", tc._rules_decoder()))
 
     def inv_shape(flax_path, kind):
         shape = params[flax_path + "/kernel"].shape \
@@ -34,8 +37,7 @@ def synthetic_torch_state(template):
             return shape
         raise ValueError(kind)
 
-    for prefix, rules in (("backbone.", tc._rules_backbone()),
-                          ("decoder.", tc._rules_decoder())):
+    for prefix, rules in rule_groups:
         for base, scope, kind in rules:
             tb = prefix + base
             if kind.startswith("conv"):
@@ -134,3 +136,53 @@ def test_expected_keys_cover_state(template):
     _, _, variables = template
     state = synthetic_torch_state(variables)
     assert set(tc.expected_torch_keys()) == set(state.keys())
+
+
+class TestTarlConverter:
+    def _extractor(self):
+        from autoinst_tpu.models.tarl.extractor import TarlExtractor
+        return TarlExtractor(v0=1024, n_points=1024)
+
+    def test_convert_and_forward(self):
+        ex = self._extractor()
+        template = ex._init_template()
+        state = synthetic_torch_state(
+            template, rule_groups=[("", tc._rules_tarl())])
+        variables = tc.convert_tarl_state_dict(state, template)
+        ex.variables = variables
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-4, 4, (600, 3))
+        feats = ex.extract(pts, rng.uniform(0, 1, 600))
+        assert feats.shape == (600, 96)
+        assert np.isfinite(feats).all()
+        # conv kernel offset permutation spot check (same as MaskPLS rule)
+        import flax
+        flat = dict(flax.traverse_util.flatten_dict(variables["params"],
+                                                    sep="/"))
+        src = state["stem.0.kernel"]           # [27, ci, co]
+        got = flat["SparseConv_0/kernel"]
+        k, ci, co = src.shape
+        np.testing.assert_allclose(
+            np.asarray(got), src[tc._PERM_K3].reshape(k * ci, co), rtol=1e-6)
+
+    def test_no_head_params_in_template(self):
+        """voxel_output=True must not create out_bnorm / sem_head params
+        (the tarl.pt checkpoint has none)."""
+        import flax
+        ex = self._extractor()
+        template = ex._init_template()
+        flat = dict(flax.traverse_util.flatten_dict(template["params"],
+                                                    sep="/"))
+        assert not any(k.startswith("Dense_0/") for k in flat), \
+            [k for k in flat if k.startswith("Dense_")]
+        # exactly the converter's target paths exist
+        rule_paths = {s for _, s, _ in tc._rules_tarl()}
+        for p in rule_paths:
+            assert any(k.startswith(p + "/") or k == p for k in flat), p
+
+    def test_expected_tarl_keys_cover_state(self):
+        ex = self._extractor()
+        template = ex._init_template()
+        state = synthetic_torch_state(
+            template, rule_groups=[("", tc._rules_tarl())])
+        assert set(tc.expected_tarl_keys()) == set(state.keys())
