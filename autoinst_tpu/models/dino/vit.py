@@ -1,14 +1,23 @@
 """DINOv2-style dense ViT feature extractor in Flax.
 
-Equivalent of the reference extractor (2D-VFMs/dinov2/extractor.py:14-360):
-a ViT-S/14 whose patch embedding runs at stride 7 instead of 14 (denser
-token grid), with bicubically-interpolated positional embeddings, emitting
-the layer-10 token facet reshaped to (H/7, W/7, 384) -- the
+Equivalent of the reference extractor (2D-VFMs/dinov2/extractor.py:14-360,
+run.py defaults): dinov2_vits14 (ViT-S/14 with LayerScale) whose patch
+embedding runs at stride 7 instead of 14 (denser token grid,
+extractor.py:102-121), bicubically-interpolated positional embeddings
+(extractor.py:66-99), emitting the raw output of block index 10 ("token"
+facet, layer 10 -- run.py:56, hook at extractor.py:193-195; NO final
+LayerNorm is applied by the hook) reshaped to (h, w, 384): the
 .npz[feature_map] cache contract (kitti_odometry_dataset.py:224-249).
 
-Weights: the published DINOv2 checkpoint can be converted from an exported
-npz via `load_npz_weights` (zero-egress environments cannot fetch it);
-randomly-initialized weights exercise the full pipeline otherwise.
+Preprocessing parity (extractor.py:125-156): center-pad the image to the
+next multiple of the patch size (reference rounding: left/top get the
+ceil half), scale to [0,1], normalize with mean=std=0.5.
+
+Weights: `convert_dinov2_state_dict` maps the published torch.hub
+checkpoint (exported to npz or loaded via torch) onto this tree;
+`load_npz_weights` loads a converted flat npz. Randomly-initialized
+weights exercise the full pipeline otherwise (zero-egress environments
+cannot fetch the checkpoint).
 """
 
 from __future__ import annotations
@@ -41,19 +50,23 @@ class Attention(nn.Module):
 
 
 class Block(nn.Module):
+    """Pre-norm ViT block with LayerScale (dinov2 ls1/ls2 gammas)."""
     dim: int
     heads: int
     mlp_ratio: int = 4
 
     @nn.compact
     def __call__(self, x):
-        h = Attention(self.dim, self.heads, name="attn")(nn.LayerNorm()(x))
-        x = x + h
-        y = nn.LayerNorm()(x)
-        y = nn.Dense(self.dim * self.mlp_ratio)(y)
+        g1 = self.param("gamma1", nn.initializers.ones, (self.dim,))
+        g2 = self.param("gamma2", nn.initializers.ones, (self.dim,))
+        h = Attention(self.dim, self.heads, name="attn")(
+            nn.LayerNorm(name="norm1")(x))
+        x = x + g1 * h
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, name="fc1")(y)
         y = nn.gelu(y)
-        y = nn.Dense(self.dim)(y)
-        return x + y
+        y = nn.Dense(self.dim, name="fc2")(y)
+        return x + g2 * y
 
 
 class ViTDense(nn.Module):
@@ -61,12 +74,13 @@ class ViTDense(nn.Module):
     heads: int = 6
     depth: int = 12
     patch: int = 14
-    facet_layer: int = 10    # reference extractor layer-10 tokens
+    pos_grid: int = 37       # dinov2 518/14 pretraining grid
+    facet_block: int = 10    # raw output of blocks[10] (run.py layer=10)
 
     @nn.compact
     def __call__(self, images, stride: int = 7):
-        """images [B, H, W, 3] float in [0,1]; returns [B, h, w, dim] with
-        h = (H - patch)//stride + 1."""
+        """images [B, H, W, 3] float, ALREADY normalized; returns
+        [B, h, w, dim] with h = (H - patch)//stride + 1."""
         b, H, W, _ = images.shape
         kernel = self.param("patch_kernel", nn.initializers.lecun_normal(),
                             (self.patch, self.patch, 3, self.dim))
@@ -79,10 +93,10 @@ class ViTDense(nn.Module):
         x = x.reshape(b, h * w, self.dim)
 
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
-        # positional embeddings for the nominal 16x16 grid, resized to (h,w)
+        g = self.pos_grid
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, 16 * 16 + 1, self.dim))
-        grid = pos[:, 1:].reshape(1, 16, 16, self.dim)
+                         (1, g * g + 1, self.dim))
+        grid = pos[:, 1:].reshape(1, g, g, self.dim)
         grid = jax.image.resize(grid, (1, h, w, self.dim), "bicubic")
         x = x + grid.reshape(1, h * w, self.dim)
         x = jnp.concatenate([jnp.tile(cls + pos[:, :1], (b, 1, 1)), x],
@@ -91,13 +105,103 @@ class ViTDense(nn.Module):
         out = None
         for i in range(self.depth):
             x = Block(self.dim, self.heads, name=f"block_{i}")(x)
-            if i == self.facet_layer - 1:
+            if i == self.facet_block:
                 out = x
-        out = nn.LayerNorm(name="norm")(out)
+        # token facet = the block's raw output (the reference hooks the
+        # block forward, extractor.py:193-195; no final norm applied)
         return out[:, 1:].reshape(b, h, w, self.dim)
 
 
+def convert_dinov2_state_dict(state: dict, template_variables,
+                              depth: int = 12):
+    """Map a dinov2_vits14 torch state dict (hub checkpoint tensors as
+    numpy) onto the ViTDense parameter tree.
+
+    Key layout (facebookresearch/dinov2 DinoVisionTransformer):
+      cls_token [1,1,D], pos_embed [1,G*G+1,D],
+      patch_embed.proj.weight [D,3,p,p] / .bias,
+      blocks.i.{norm1,norm2}.{weight,bias}, blocks.i.attn.qkv.{weight,bias},
+      blocks.i.attn.proj.{weight,bias}, blocks.i.ls{1,2}.gamma,
+      blocks.i.mlp.fc{1,2}.{weight,bias}.
+    (mask_token and the final norm are unused by the token facet.)
+    """
+    import flax
+    params = dict(flax.traverse_util.flatten_dict(
+        template_variables["params"], sep="/"))
+
+    def get(name):
+        if name not in state:
+            raise KeyError(f"dinov2 checkpoint missing {name}")
+        return np.asarray(state[name])
+
+    def put(path, value):
+        if path not in params:
+            raise KeyError(f"no flax parameter {path}")
+        if params[path].shape != value.shape:
+            raise ValueError(f"{path}: shape {params[path].shape} != "
+                             f"{value.shape}")
+        params[path] = value.astype(np.float32)
+
+    put("cls_token", get("cls_token"))
+    put("pos_embed", get("pos_embed"))
+    # torch conv weight [D, 3, p, p] -> HWIO [p, p, 3, D]
+    put("patch_kernel", get("patch_embed.proj.weight").transpose(2, 3, 1, 0))
+    put("patch_bias", get("patch_embed.proj.bias"))
+    for i in range(depth):
+        tb, fb = f"blocks.{i}", f"block_{i}"
+        put(f"{fb}/norm1/scale", get(f"{tb}.norm1.weight"))
+        put(f"{fb}/norm1/bias", get(f"{tb}.norm1.bias"))
+        put(f"{fb}/norm2/scale", get(f"{tb}.norm2.weight"))
+        put(f"{fb}/norm2/bias", get(f"{tb}.norm2.bias"))
+        put(f"{fb}/attn/qkv/kernel", get(f"{tb}.attn.qkv.weight").T)
+        put(f"{fb}/attn/qkv/bias", get(f"{tb}.attn.qkv.bias"))
+        put(f"{fb}/attn/proj/kernel", get(f"{tb}.attn.proj.weight").T)
+        put(f"{fb}/attn/proj/bias", get(f"{tb}.attn.proj.bias"))
+        put(f"{fb}/gamma1", get(f"{tb}.ls1.gamma"))
+        put(f"{fb}/gamma2", get(f"{tb}.ls2.gamma"))
+        put(f"{fb}/fc1/kernel", get(f"{tb}.mlp.fc1.weight").T)
+        put(f"{fb}/fc1/bias", get(f"{tb}.mlp.fc1.bias"))
+        put(f"{fb}/fc2/kernel", get(f"{tb}.mlp.fc2.weight").T)
+        put(f"{fb}/fc2/bias", get(f"{tb}.mlp.fc2.bias"))
+
+    return {"params": flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): jnp.asarray(v) for k, v in params.items()})}
+
+
+def expected_dinov2_keys(depth: int = 12):
+    keys = ["cls_token", "pos_embed", "patch_embed.proj.weight",
+            "patch_embed.proj.bias"]
+    for i in range(depth):
+        tb = f"blocks.{i}"
+        keys += [f"{tb}.norm1.weight", f"{tb}.norm1.bias",
+                 f"{tb}.norm2.weight", f"{tb}.norm2.bias",
+                 f"{tb}.attn.qkv.weight", f"{tb}.attn.qkv.bias",
+                 f"{tb}.attn.proj.weight", f"{tb}.attn.proj.bias",
+                 f"{tb}.ls1.gamma", f"{tb}.ls2.gamma",
+                 f"{tb}.mlp.fc1.weight", f"{tb}.mlp.fc1.bias",
+                 f"{tb}.mlp.fc2.weight", f"{tb}.mlp.fc2.bias"]
+    return keys
+
+
+def pad_to_patch_multiple(image: np.ndarray, patch: int = 14) -> np.ndarray:
+    """Center-pad H and W to the NEXT multiple of `patch` (reference
+    _get_padding, extractor.py:142-156: always adds at least one pixel
+    row/col; odd padding puts the extra pixel on the left/top)."""
+    h, w = image.shape[:2]
+    new_w = (w // patch + 1) * patch
+    new_h = (h // patch + 1) * patch
+    hp, vp = (new_w - w) / 2, (new_h - h) / 2
+    l_pad = int(hp if hp % 1 == 0 else hp + 0.5)
+    r_pad = int(hp if hp % 1 == 0 else hp - 0.5)
+    t_pad = int(vp if vp % 1 == 0 else vp + 0.5)
+    b_pad = int(vp if vp % 1 == 0 else vp - 0.5)
+    return np.pad(image, ((t_pad, b_pad), (l_pad, r_pad), (0, 0)))
+
+
 class ViTDenseExtractor:
+    mean = 0.5  # reference extractor.py:48-49
+    std = 0.5
+
     def __init__(self, stride: int = 7, weights_path: str = ""):
         self.stride = stride
         self.model = ViTDense()
@@ -112,18 +216,41 @@ class ViTDenseExtractor:
                                          stride=self.stride)
 
     def load_npz_weights(self, path: str):
-        """Load a converted checkpoint (flat npz of the flax param tree)."""
+        """Load a converted checkpoint (flat npz of the flax param tree) OR
+        a raw dinov2 torch export (flat npz of torch names)."""
         import flax
         flat = dict(np.load(path))
+        if "patch_embed.proj.weight" in flat:   # torch-name export
+            probe = np.zeros((1, 14 * 3, 14 * 3, 3), np.float32)
+            template = self.model.init(jax.random.PRNGKey(0),
+                                       jnp.asarray(probe),
+                                       stride=self.stride)
+            self.variables = convert_dinov2_state_dict(flat, template)
+            return
         tree = flax.traverse_util.unflatten_dict(
             {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()})
         self.variables = {"params": tree}
+
+    def load_torch_checkpoint(self, path: str):
+        """Convert a locally-available dinov2_vits14 .pth directly."""
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = sd.get("model", sd) if isinstance(sd, dict) else sd
+        state = {k: v.numpy() for k, v in sd.items()
+                 if hasattr(v, "numpy")}
+        probe = np.zeros((1, 14 * 3, 14 * 3, 3), np.float32)
+        template = self.model.init(jax.random.PRNGKey(0),
+                                   jnp.asarray(probe), stride=self.stride)
+        self.variables = convert_dinov2_state_dict(state, template)
+        return self.variables
 
     def extract(self, image: np.ndarray) -> np.ndarray:
         """image [H, W, 3] uint8/float -> (h, w, 384) feature map."""
         img = np.asarray(image, np.float32)
         if img.max() > 1.5:
             img = img / 255.0
+        img = pad_to_patch_multiple(img, self.model.patch)
+        img = (img - self.mean) / self.std
         img = img[None]
         if self.variables is None:
             self._init(jnp.asarray(img))

@@ -5,6 +5,8 @@ import zlib
 
 import numpy as np
 import pytest
+import jax
+import jax.numpy as jnp
 
 from autoinst_tpu.models.segmentation2d import MaskAdapter, slic_superpixels
 from autoinst_tpu.models.segmentation2d.slic import labels_to_masks
@@ -83,6 +85,119 @@ class TestDinoViT:
         img = np.random.default_rng(2).integers(
             0, 255, (42, 70, 3)).astype(np.uint8)
         fmap = ex.extract(img)
-        # (H - patch)//stride + 1 = (42-14)//7+1 = 5 ; (70-14)//7+1 = 9
-        assert fmap.shape == (5, 9, 384)
+        # reference pads to the NEXT patch multiple first
+        # (extractor.py:142-156): 42->56, 70->84;
+        # (H - patch)//stride + 1 = (56-14)//7+1 = 7 ; (84-14)//7+1 = 11
+        assert fmap.shape == (7, 11, 384)
         assert np.isfinite(fmap).all()
+
+
+class TestDinoConverter:
+    """Torch-twin oracle: the converter + our ViT must reproduce the
+    reference dinov2 block math (pre-norm attn/mlp with LayerScale,
+    token facet = raw block output)."""
+
+    CFG = dict(dim=32, heads=2, depth=3, patch=4, pos_grid=3, facet_block=2)
+
+    def _synthetic_state(self, rng):
+        d, depth, patch = self.CFG["dim"], self.CFG["depth"], self.CFG["patch"]
+        g = self.CFG["pos_grid"]
+        s = {"cls_token": rng.normal(size=(1, 1, d)),
+             "pos_embed": rng.normal(size=(1, g * g + 1, d)) * 0.02,
+             "patch_embed.proj.weight": rng.normal(
+                 size=(d, 3, patch, patch)) * 0.05,
+             "patch_embed.proj.bias": rng.normal(size=d) * 0.05}
+        for i in range(depth):
+            tb = f"blocks.{i}"
+            s[f"{tb}.norm1.weight"] = rng.uniform(0.5, 1.5, d)
+            s[f"{tb}.norm1.bias"] = rng.normal(size=d) * 0.05
+            s[f"{tb}.norm2.weight"] = rng.uniform(0.5, 1.5, d)
+            s[f"{tb}.norm2.bias"] = rng.normal(size=d) * 0.05
+            s[f"{tb}.attn.qkv.weight"] = rng.normal(size=(3 * d, d)) * 0.05
+            s[f"{tb}.attn.qkv.bias"] = rng.normal(size=3 * d) * 0.05
+            s[f"{tb}.attn.proj.weight"] = rng.normal(size=(d, d)) * 0.05
+            s[f"{tb}.attn.proj.bias"] = rng.normal(size=d) * 0.05
+            s[f"{tb}.ls1.gamma"] = rng.uniform(0.5, 1.5, d)
+            s[f"{tb}.ls2.gamma"] = rng.uniform(0.5, 1.5, d)
+            s[f"{tb}.mlp.fc1.weight"] = rng.normal(size=(4 * d, d)) * 0.05
+            s[f"{tb}.mlp.fc1.bias"] = rng.normal(size=4 * d) * 0.05
+            s[f"{tb}.mlp.fc2.weight"] = rng.normal(size=(d, 4 * d)) * 0.05
+            s[f"{tb}.mlp.fc2.bias"] = rng.normal(size=d) * 0.05
+        return {k: np.asarray(v, np.float32) for k, v in s.items()}
+
+    def _torch_forward(self, state, img):
+        """Reference dinov2 math in torch (stride = patch, native grid so
+        pos-embed interpolation is identity)."""
+        import torch
+        import torch.nn.functional as F
+        t = {k: torch.from_numpy(v) for k, v in state.items()}
+        d, heads = self.CFG["dim"], self.CFG["heads"]
+        x = F.conv2d(torch.from_numpy(img).permute(0, 3, 1, 2),
+                     t["patch_embed.proj.weight"],
+                     t["patch_embed.proj.bias"], stride=self.CFG["patch"])
+        b, _, h, w = x.shape
+        x = x.flatten(2).transpose(1, 2)                      # [B, hw, D]
+        x = x + t["pos_embed"][:, 1:]
+        cls = t["cls_token"] + t["pos_embed"][:, :1]
+        x = torch.cat([cls.expand(b, -1, -1), x], dim=1)
+        for i in range(self.CFG["depth"]):
+            tb = f"blocks.{i}"
+            y = F.layer_norm(x, (d,), t[f"{tb}.norm1.weight"],
+                             t[f"{tb}.norm1.bias"])
+            qkv = F.linear(y, t[f"{tb}.attn.qkv.weight"],
+                           t[f"{tb}.attn.qkv.bias"])
+            n = y.shape[1]
+            qkv = qkv.reshape(b, n, 3, heads, d // heads).permute(
+                2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = torch.softmax(q @ k.transpose(-2, -1)
+                                 / np.sqrt(d // heads), dim=-1)
+            o = (attn @ v).transpose(1, 2).reshape(b, n, d)
+            o = F.linear(o, t[f"{tb}.attn.proj.weight"],
+                         t[f"{tb}.attn.proj.bias"])
+            x = x + t[f"{tb}.ls1.gamma"] * o
+            y = F.layer_norm(x, (d,), t[f"{tb}.norm2.weight"],
+                             t[f"{tb}.norm2.bias"])
+            y = F.linear(y, t[f"{tb}.mlp.fc1.weight"], t[f"{tb}.mlp.fc1.bias"])
+            y = F.gelu(y)
+            y = F.linear(y, t[f"{tb}.mlp.fc2.weight"], t[f"{tb}.mlp.fc2.bias"])
+            x = x + t[f"{tb}.ls2.gamma"] * y
+            if i == self.CFG["facet_block"]:
+                out = x
+        return out[:, 1:].reshape(b, h, w, d).numpy()
+
+    def test_matches_torch_oracle(self):
+        from autoinst_tpu.models.dino.vit import (ViTDense,
+                                                  convert_dinov2_state_dict)
+        rng = np.random.default_rng(0)
+        state = self._synthetic_state(rng)
+        cfg = self.CFG
+        model = ViTDense(dim=cfg["dim"], heads=cfg["heads"],
+                         depth=cfg["depth"], patch=cfg["patch"],
+                         pos_grid=cfg["pos_grid"],
+                         facet_block=cfg["facet_block"])
+        size = cfg["patch"] * cfg["pos_grid"]
+        img = rng.normal(size=(1, size, size, 3)).astype(np.float32)
+        template = model.init(jax.random.PRNGKey(0), jnp.asarray(img),
+                              stride=cfg["patch"])
+        variables = convert_dinov2_state_dict(state, template,
+                                              depth=cfg["depth"])
+        ours = np.asarray(model.apply(variables, jnp.asarray(img),
+                                      stride=cfg["patch"]))
+        oracle = self._torch_forward(state, img)
+        np.testing.assert_allclose(ours, oracle, rtol=2e-3, atol=2e-4)
+
+    def test_expected_keys(self):
+        from autoinst_tpu.models.dino.vit import expected_dinov2_keys
+        state = self._synthetic_state(np.random.default_rng(1))
+        assert set(expected_dinov2_keys(self.CFG["depth"])) == set(state)
+
+    def test_padding_matches_reference_rounding(self):
+        from autoinst_tpu.models.dino.vit import pad_to_patch_multiple
+        img = np.ones((370, 1226, 3), np.float32)   # KITTI camera size
+        out = pad_to_patch_multiple(img, 14)
+        assert out.shape == (378, 1232, 3)
+        # reference: w=1226 -> new_w=1232 (pad 3 each side); h=370 ->
+        # new_h=378 (pad 4 each side)
+        assert out[:4].sum() == 0 and out[-4:].sum() == 0
+        assert out[:, :3].sum() == 0 and out[:, -3:].sum() == 0
