@@ -71,8 +71,8 @@ class SparseConv(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (k * cin, self.cout))
         w = w.reshape(k, cin, self.cout)
-        return jax.vmap(sparse.gather_conv, in_axes=(0, 0, None, None))(
-            feats, nbr, w, self.dtype)
+        return jax.vmap(
+            lambda f, n: sparse.gather_conv(f, n, w, self.dtype))(feats, nbr)
 
 
 class DownConv(nn.Module):
@@ -85,8 +85,8 @@ class DownConv(nn.Module):
         cin = feats.shape[-1]
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (8 * cin, self.cout)).reshape(8, cin, self.cout)
-        return jax.vmap(sparse.down_conv, in_axes=(0, 0, None, None))(
-            feats, child, w, self.dtype)
+        return jax.vmap(
+            lambda f, c: sparse.down_conv(f, c, w, self.dtype))(feats, child)
 
 
 class UpConv(nn.Module):

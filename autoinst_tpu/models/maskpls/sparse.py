@@ -18,6 +18,7 @@ Kernel offset order: lexicographic np.ndindex over the kernel cube
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
 import numpy as np
 import jax
@@ -154,23 +155,80 @@ def build_plan(coords_int: np.ndarray, v0: int, num_levels: int = 5,
 # ------------------------------------------------------------- device ops
 
 
+def _gc_impl(feats, nbr, weights, compute_dtype):
+    """scan over kernel taps: per-tap row gather + [V,Ci]x[Ci,Co] GEMM.
+
+    Peak temp O(V*(Ci+Co)) instead of the [V, K, Ci] gather a single
+    flattened GEMM materializes (1.3 GB per level-0 conv at 64k voxels;
+    the dominant HBM cost of MaskPLS training)."""
+    ci = feats.shape[1]
+    vout, k = nbr.shape
+    co = weights.shape[-1]
+    ext = jnp.concatenate([feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
+
+    def body(acc, xs):
+        nbr_k, w_k = xs
+        g = ext[nbr_k].astype(compute_dtype)
+        return acc + jax.lax.dot_general(
+            g, w_k.astype(compute_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32), None
+
+    acc0 = jnp.zeros((vout, co), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (nbr.T, weights))
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_conv_vjp(feats, nbr, weights, compute_dtype):
+    return _gc_impl(feats, nbr, weights, compute_dtype)
+
+
 def gather_conv(feats: jax.Array, nbr: jax.Array, weights: jax.Array,
                 compute_dtype=jnp.float32) -> jax.Array:
     """Sparse conv: out[v] = sum_k W[k] @ feats[nbr[v,k]] (missing -> 0).
 
-    feats [V, Ci], nbr [V, K] with sentinel V, weights [K, Ci, Co].
-    One gather + one MXU GEMM; with compute_dtype=bfloat16 the GEMM runs
-    native-bf16 on the MXU with f32 accumulation."""
+    feats [V, Ci], nbr [V, K] with sentinel V, weights [K, Ci, Co]; with
+    compute_dtype=bfloat16 the GEMMs run native-bf16 on the MXU with f32
+    accumulation. Custom VJP: the backward re-gathers per tap instead of
+    storing the [V, K, Ci] gather (flash-style recompute), so training
+    memory is O(V*C) regardless of K."""
+    return _gather_conv_vjp(feats, nbr, weights,
+                            jnp.dtype(compute_dtype).name)
+
+
+def _gc_fwd(feats, nbr, weights, compute_dtype):
+    # (nondiff args reach fwd at their ORIGINAL positions; only bwd gets
+    # them as leading arguments)
+    return _gc_impl(feats, nbr, weights, compute_dtype), (feats, nbr,
+                                                          weights)
+
+
+def _gc_bwd(compute_dtype, res, dout):
+    feats, nbr, weights = res
     ci = feats.shape[1]
-    vout, k = nbr.shape
     ext = jnp.concatenate([feats, jnp.zeros((1, ci), feats.dtype)], axis=0)
-    g = ext[nbr].astype(compute_dtype)            # [Vout, K, Ci]
-    co = weights.shape[-1]
-    out = jax.lax.dot_general(
-        g.reshape(vout, k * ci),
-        weights.reshape(k * ci, co).astype(compute_dtype),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    return out
+    dout_c = dout.astype(compute_dtype)
+
+    def body(dext, xs):
+        nbr_k, w_k = xs
+        g = ext[nbr_k].astype(compute_dtype)                  # [Vout, Ci]
+        dw_k = jax.lax.dot_general(                           # [Ci, Co]
+            g, dout_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dg = jax.lax.dot_general(                             # [Vout, Ci]
+            dout_c, w_k.astype(compute_dtype),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        return dext.at[nbr_k].add(dg), dw_k
+
+    dext0 = jnp.zeros((feats.shape[0] + 1, ci), jnp.float32)
+    dext, dws = jax.lax.scan(body, dext0, (nbr.T, weights))
+    dnbr = np.zeros(nbr.shape, jax.dtypes.float0)
+    return (dext[:-1].astype(feats.dtype), dnbr,
+            dws.astype(weights.dtype))
+
+
+_gather_conv_vjp.defvjp(_gc_fwd, _gc_bwd)
 
 
 def down_conv(feats: jax.Array, child: jax.Array, weights: jax.Array,
@@ -185,13 +243,21 @@ def up_conv(feats_coarse: jax.Array, parent: jax.Array,
     through the kernel tap matching its (0|1)^3 position.
 
     feats_coarse [Vc, Ci], parent [Vf] (sentinel Vc), parent_off [Vf],
-    weights [8, Ci, Co]."""
+    weights [8, Ci, Co]. Computed as 8 full GEMMs masked per tap: the
+    per-voxel-kernel form `einsum(g, weights[parent_off])` materializes a
+    [Vf, Ci, Co] tensor in the backward pass (8 GB at 32k x 256 x 256),
+    while the masked accumulation's residual is just g [Vf, Ci]."""
     vc, ci = feats_coarse.shape
     ext = jnp.concatenate([feats_coarse, jnp.zeros((1, ci),
                                                    feats_coarse.dtype)], 0)
     g = ext[parent]                               # [Vf, Ci]
-    w = weights[parent_off]                       # [Vf, Ci, Co]
-    return jnp.einsum("vi,vio->vo", g, w)
+    out = jnp.zeros((parent.shape[0], weights.shape[-1]), jnp.float32)
+    for o in range(weights.shape[0]):
+        sel = (parent_off == o).astype(g.dtype)[:, None]
+        out = out + sel * jax.lax.dot_general(
+            g, weights[o], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return out
 
 
 def voxelize_features(point_feats: jax.Array, point_voxel: jax.Array,

@@ -334,3 +334,78 @@ class TestKnnUpGrid:
         assert np.isfinite(a).all()
         denom = np.abs(b).mean() + 1e-6
         assert np.abs(a - b).mean() / denom < 0.1, np.abs(a - b).mean()
+
+
+class TestConvVJP:
+    """Memory-light conv formulations must match the naive dense math in
+    value AND gradients (gather_conv has a hand-written VJP)."""
+
+    def test_gather_conv_value_and_grads(self):
+        rng = np.random.default_rng(5)
+        v, k, ci, co = 40, 27, 8, 6
+        feats = jnp.asarray(rng.normal(size=(v, ci)).astype(np.float32))
+        nbr = jnp.asarray(rng.integers(0, v + 1, size=(v, k)).astype(
+            np.int32))  # includes sentinel rows
+        w = jnp.asarray(rng.normal(size=(k, ci, co)).astype(np.float32))
+
+        def naive(feats, w):
+            ext = jnp.concatenate([feats, jnp.zeros((1, ci))], 0)
+            g = ext[nbr]                         # [V, K, Ci]
+            return jnp.einsum("vki,kio->vo", g, w)
+
+        def ours(feats, w):
+            return sparse.gather_conv(feats, nbr, w)
+
+        np.testing.assert_allclose(np.asarray(ours(feats, w)),
+                                   np.asarray(naive(feats, w)), atol=1e-4)
+        cot = jnp.asarray(rng.normal(size=(v, co)).astype(np.float32))
+        g_ours = jax.grad(lambda f, ww: jnp.sum(ours(f, ww) * cot),
+                          argnums=(0, 1))(feats, w)
+        g_ref = jax.grad(lambda f, ww: jnp.sum(naive(f, ww) * cot),
+                         argnums=(0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(g_ours[0]),
+                                   np.asarray(g_ref[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_ours[1]),
+                                   np.asarray(g_ref[1]), atol=1e-4)
+
+    def test_gather_conv_vmap_grad(self):
+        rng = np.random.default_rng(6)
+        b, v, k, ci, co = 2, 16, 5, 4, 3
+        feats = jnp.asarray(rng.normal(size=(b, v, ci)).astype(np.float32))
+        nbr = jnp.asarray(rng.integers(0, v + 1, (b, v, k)).astype(np.int32))
+        w = jnp.asarray(rng.normal(size=(k, ci, co)).astype(np.float32))
+
+        def loss(f, ww):
+            out = jax.vmap(
+                lambda fb, nb: sparse.gather_conv(fb, nb, ww))(f, nbr)
+            return jnp.sum(out ** 2)
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1))(feats, w)
+        assert np.isfinite(float(val))
+        assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+    def test_up_conv_matches_per_voxel_kernel(self):
+        rng = np.random.default_rng(7)
+        vc, vf, ci, co = 12, 30, 5, 4
+        feats = jnp.asarray(rng.normal(size=(vc, ci)).astype(np.float32))
+        parent = jnp.asarray(rng.integers(0, vc + 1, vf).astype(np.int32))
+        poff = jnp.asarray(rng.integers(0, 8, vf).astype(np.int32))
+        w = jnp.asarray(rng.normal(size=(8, ci, co)).astype(np.float32))
+
+        def naive(feats, w):
+            ext = jnp.concatenate([feats, jnp.zeros((1, ci))], 0)
+            g = ext[parent]
+            return jnp.einsum("vi,vio->vo", g, w[poff])
+
+        ours = sparse.up_conv(feats, parent, poff, w)
+        np.testing.assert_allclose(np.asarray(ours),
+                                   np.asarray(naive(feats, w)), atol=1e-4)
+        cot = jnp.asarray(rng.normal(size=(vf, co)).astype(np.float32))
+        g_ours = jax.grad(lambda f, ww: jnp.sum(
+            sparse.up_conv(f, parent, poff, ww) * cot), (0, 1))(feats, w)
+        g_ref = jax.grad(lambda f, ww: jnp.sum(naive(f, ww) * cot),
+                         (0, 1))(feats, w)
+        np.testing.assert_allclose(np.asarray(g_ours[0]),
+                                   np.asarray(g_ref[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g_ours[1]),
+                                   np.asarray(g_ref[1]), atol=1e-4)
