@@ -55,3 +55,37 @@ def test_shard_leading_distributes():
     x = jnp.zeros((16, 4, 4))
     xs = shard_leading(x, mesh)
     assert len(xs.sharding.device_set) == 8
+
+
+def test_recursive_ncut_device_sharded_matches_unsharded():
+    """The full tiered-worklist solver under shard_map: per-chunk labels
+    must match the single-device device solver exactly (modulo nothing --
+    the per-chunk computation is independent)."""
+    import jax
+    from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
+    from autoinst_tpu.parallel.mesh import recursive_ncut_device_sharded
+
+    rng = np.random.default_rng(11)
+    C, N = 6, 256   # 6 chunks over 8 devices: exercises padding too
+    Ws, nvs = [], []
+    for c in range(C):
+        n = int(rng.integers(60, N))
+        pts = rng.normal(size=(n, 2)) * 0.3
+        pts[: n // 2] += 4.0   # two well-separated blobs
+        d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+        w = np.exp(-d2) * (d2 < 1.0)
+        W = np.zeros((N, N), np.float32)
+        W[:n, :n] = w
+        Ws.append(W)
+        nvs.append(n)
+    Ws = np.stack(Ws)
+    nvs = np.asarray(nvs, np.int32)
+
+    mesh = make_mesh(data=8, model=1)
+    sharded = recursive_ncut_device_sharded(Ws, nvs, mesh, T=0.1,
+                                            split_lim=0.01)
+    single = recursive_ncut_device(jnp.asarray(Ws), nvs, T=0.1,
+                                   split_lim=0.01)
+    assert len(sharded) == C
+    for c in range(C):
+        np.testing.assert_array_equal(sharded[c], single[c])
