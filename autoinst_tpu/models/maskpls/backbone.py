@@ -242,7 +242,10 @@ class MinkUNet(nn.Module):
         for lvl_id, feats in ((3, y1), (2, y2), (1, y3), (0, y4)):
             lvl = L[lvl_id]
             if self.knn_mode == "grid":
-                pf = jax.vmap(sparse.knn_up_grid)(
+                cell = lvl.get("cell")
+                pf = jax.vmap(
+                    lambda co, fe, pc, pv, nb: sparse.knn_up_grid(
+                        co, fe, pc, pv, nb, cell=cell))(
                     lvl["coords"], feats, batch["pt_coords"], pvs[lvl_id],
                     lvl["nbr3"])
             else:

@@ -285,7 +285,7 @@ def knn_up(vox_coords: jax.Array, vox_valid: jax.Array, vox_feats: jax.Array,
 
 def knn_up_grid(vox_coords: jax.Array, vox_feats: jax.Array,
                 pt_coords: jax.Array, pt_voxel: jax.Array, nbr3: jax.Array,
-                k: int = 3) -> jax.Array:
+                cell=None, k: int = 3) -> jax.Array:
     """Grid-accelerated kNN-up: O(N*27) instead of the O(N*V) brute force.
 
     Candidate neighbors for each point are the 27-neighborhood (`nbr3`) of
@@ -298,15 +298,25 @@ def knn_up_grid(vox_coords: jax.Array, vox_feats: jax.Array,
     vox_coords [V,3] meters; vox_feats [V,C]; pt_coords [N,3];
     pt_voxel [N] containing-voxel index at this level (sentinel >= V for
     padded points -- their output is garbage and masked downstream);
-    nbr3 [V,27] neighbor map with sentinel V.
+    nbr3 [V,27] neighbor map with sentinel V; cell (optional scalar) voxel
+    edge length in meters -- when given, candidate corner positions are
+    the containing corner plus the fixed 27 offsets (one [N,3] gather)
+    instead of a [N,27,3] neighbor-coords gather (tiny misaligned rows,
+    the dominant cost of this op on TPU).
     """
     v, c = vox_feats.shape
     pv = jnp.minimum(pt_voxel, v - 1)
     cand = nbr3[pv]                                     # [N, 27]
-    coords_ext = jnp.concatenate(
-        [vox_coords, jnp.zeros((1, 3), vox_coords.dtype)], axis=0)
-    cc = coords_ext[cand]                               # [N, 27, 3]
-    d2 = jnp.sum((pt_coords[:, None, :] - cc) ** 2, axis=-1)
+    if cell is None:
+        coords_ext = jnp.concatenate(
+            [vox_coords, jnp.zeros((1, 3), vox_coords.dtype)], axis=0)
+        cc = coords_ext[cand]                           # [N, 27, 3]
+        d2 = jnp.sum((pt_coords[:, None, :] - cc) ** 2, axis=-1)
+    else:
+        base = vox_coords[pv]                           # [N, 3]
+        offs = jnp.asarray(K3_OFFSETS, vox_coords.dtype) * cell  # [27, 3]
+        diff = (pt_coords - base)[:, None, :] - offs[None]
+        d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(cand >= v, jnp.inf, d2)              # missing neighbors
     neg, sel = jax.lax.top_k(-d2, k)
     idx = jnp.take_along_axis(cand, sel, axis=1)        # [N, k]
@@ -359,6 +369,10 @@ def plans_to_batch(plans: list, points_list: list, feats_list: list,
             "coords": np.stack([
                 repad((p.levels[l].coords * (2 ** l) + p.origin) * res,
                       v, 0.0) for p in plans]).astype(np.float32),
+            # voxel edge length in meters at this level (knn_up_grid
+            # derives candidate corner positions arithmetically from the
+            # containing voxel instead of gathering 27 neighbor coords)
+            "cell": np.float32(res * (2 ** l)),
         }
         if plans[0].levels[l].child is not None:
             vn = widths[l + 1]

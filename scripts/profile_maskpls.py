@@ -247,9 +247,14 @@ def _run_one():
                 prev = np.minimum(pvs[-1], parent.shape[1] - 1)
                 pvs.append(np.take_along_axis(parent, prev, axis=1))
 
+            cell = batch_np["levels"][lvl_id].get("cell")
+
             @jax.jit
             def kup_grid(co, fe, pc, pv, nbr):
-                return jax.vmap(sparse.knn_up_grid)(co, fe, pc, pv, nbr)
+                return jax.vmap(lambda c_, f_, p_, v_, n_:
+                                sparse.knn_up_grid(c_, f_, p_, v_, n_,
+                                                   cell=cell))(
+                    co, fe, pc, pv, nbr)
             t = timed(kup_grid, args.reps, lvl["coords"], feats,
                       batch["pt_coords"], jnp.asarray(pvs[lvl_id]),
                       lvl["nbr3"])

@@ -409,3 +409,26 @@ class TestConvVJP:
                                    np.asarray(g_ref[0]), atol=1e-4)
         np.testing.assert_allclose(np.asarray(g_ours[1]),
                                    np.asarray(g_ref[1]), atol=1e-4)
+
+
+def test_knn_up_grid_cell_matches_gathered_coords():
+    """Arithmetic candidate corners (cell= path) must reproduce the
+    gathered-coords path."""
+    rng = np.random.default_rng(9)
+    xyz = rng.uniform(0, 2.0, size=(500, 3))
+    plan = sparse.build_plan(sparse.quantize_points(xyz, 0.1), v0=1024,
+                             num_levels=2)
+    batch = sparse.plans_to_batch([plan], [xyz.astype(np.float32)],
+                                  [np.ones((len(xyz), 1), np.float32)],
+                                  0.1, n_points=512)
+    lvl = batch["levels"][0]
+    v = lvl["nbr3"].shape[1]
+    feats = rng.normal(size=(v, 8)).astype(np.float32)
+    args = (jnp.asarray(lvl["coords"][0]), jnp.asarray(feats),
+            jnp.asarray(batch["pt_coords"][0]),
+            jnp.asarray(batch["point_voxel"][0]),
+            jnp.asarray(lvl["nbr3"][0]))
+    a = np.asarray(sparse.knn_up_grid(*args))
+    b = np.asarray(sparse.knn_up_grid(*args, cell=lvl["cell"]))
+    val = np.asarray(batch["pt_valid"][0])
+    np.testing.assert_allclose(b[val], a[val], rtol=1e-4, atol=1e-5)
