@@ -124,13 +124,21 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
 
     def build(pts, feats):
         if use_pallas:
-            return affinity_pallas(jnp.asarray(pts), valid,
-                                   tarl=jnp.asarray(feats), alpha=ALPHA,
+            return affinity_pallas(pts, valid, tarl=feats, alpha=ALPHA,
                                    theta=THETA, proximity=PROX)
-        return affinity_xla(jnp.asarray(pts), valid, tarl=jnp.asarray(feats),
-                            alpha=ALPHA, theta=THETA, proximity=PROX)
+        return affinity_xla(pts, valid, tarl=feats, alpha=ALPHA,
+                            theta=THETA, proximity=PROX)
 
-    Ws = jnp.stack([build(p, f) for p, f in chunks])
+    # Two host->device puts for ALL chunk inputs, then per-chunk Pallas
+    # dispatches on device-resident slices: the dispatches queue
+    # asynchronously, and bulk transfers avoid per-chunk tunnel round
+    # trips (which dominate and vary wildly on the tunneled dev chip).
+    # A/B'd against one vmapped Pallas call over the stack: the batched
+    # kernel serializes its grid and measured slower.
+    pts_all = jnp.asarray(np.stack([p for p, _ in chunks]))
+    fts_all = jnp.asarray(np.stack([f for _, f in chunks]))
+    Ws = jnp.stack([build(pts_all[i], fts_all[i])
+                    for i in range(len(chunks))])
     Ws.block_until_ready()
     if os.environ.get("BENCH_SOLVER", "device") == "device" \
             and jax.default_backend() == "tpu":
