@@ -140,10 +140,16 @@ def main():
     ap.add_argument("--v0", type=int, default=65536)
     ap.add_argument("--ckpt-every", type=int, default=1,
                     help="checkpoint every N epochs")
+    ap.add_argument("--dtype", default="float32",
+                    help="backbone GEMM compute dtype (bfloat16 = MXU-"
+                         "native, ~16%% faster at 30k points)")
+    ap.add_argument("--queries", type=int, default=40)
     args = ap.parse_args()
     train(args.data, epochs=args.epochs, ckpt_dir=args.ckpt_dir,
           resume=args.resume, n_points=args.n_points, v0=args.v0,
-          ckpt_every=args.ckpt_every)
+          ckpt_every=args.ckpt_every,
+          cfg=MaskPLSConfig(compute_dtype=args.dtype,
+                            num_queries=args.queries))
 
 
 if __name__ == "__main__":
