@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from autoinst_tpu.metrics.panoptic import PanopticEval
 from autoinst_tpu.models.maskpls.model import (MaskPLSConfig, MaskPS,
                                                panoptic_inference)
-from autoinst_tpu.models.maskpls.pseudo_dataset import PseudoDataset, collate
+from autoinst_tpu.models.maskpls.pseudo_dataset import (
+    PseudoDataset, collate, dataset_level_widths)
 from autoinst_tpu.models.maskpls.train import load_checkpoint, \
     create_train_state
 
@@ -36,8 +37,12 @@ def evaluate(data_path: str, ckpt: str, cfg: MaskPLSConfig = MaskPLSConfig(),
     dataset = PseudoDataset(data_path, min_points=100, subsample=False,
                             split="val")
     model = MaskPS(cfg)
+    # uniform static shapes across the run: one compiled forward
+    # (XLA recompiles per shape set; see train.py / CLAUDE.md axon note)
+    level_widths = dataset_level_widths(dataset, cfg.resolution, v0)
     item = dataset[0]
-    batch, _ = collate([item], cfg.resolution, v0, n_points, t_max)
+    batch, _ = collate([item], cfg.resolution, v0, n_points, t_max,
+                       level_widths=level_widths)
     batch = jax.tree.map(jnp.asarray, batch)
     state = create_train_state(jax.random.PRNGKey(0), cfg, batch)
     state = load_checkpoint(ckpt, state)
@@ -52,7 +57,8 @@ def evaluate(data_path: str, ckpt: str, cfg: MaskPLSConfig = MaskPLSConfig(),
     n_eval = min(limit or len(dataset), len(dataset))
     for i in range(n_eval):
         item = dataset[i]
-        batch, _ = collate([item], cfg.resolution, v0, n_points, t_max)
+        batch, _ = collate([item], cfg.resolution, v0, n_points, t_max,
+                           level_widths=level_widths)
         batch = jax.tree.map(jnp.asarray, batch)
         outputs, pad, _ = apply_fn(variables, batch)
         n = len(item["xyz"])

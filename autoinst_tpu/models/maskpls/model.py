@@ -344,7 +344,13 @@ def _softmax_np(x, axis=-1):
 
 
 def _sigmoid_np(x):
-    return 1.0 / (1.0 + np.exp(-x))
+    # overflow-free piecewise form (exp only ever sees non-positive input)
+    out = np.empty_like(x, dtype=np.float64)
+    pos = x >= 0
+    out[pos] = 1.0 / (1.0 + np.exp(-x[pos]))
+    e = np.exp(x[~pos])
+    out[~pos] = e / (1.0 + e)
+    return out
 
 
 # ------------------------------------------------------------ train state
