@@ -116,14 +116,22 @@ def collate(items: list, res: float, v0: int, n_points: int, t_max: int,
 
 
 def dataset_level_widths(dataset: PseudoDataset, res: float, v0: int,
-                         num_levels: int = 5) -> list:
+                         num_levels: int = 5, margin: float = 0.05,
+                         margin_abs: int = 64) -> list:
     """Uniform static level widths covering every chunk in the dataset.
 
     One pass of cheap unique-coordinate counting (no neighbor maps); the
     result makes collate() produce identical padded shapes for all chunks,
-    so the jitted train step compiles exactly once per run. Counts are
-    taken WITHOUT the random training subsample, so they upper-bound any
-    subsampled epoch.
+    so the jitted train step compiles exactly once per run (the axon
+    transport bug makes a mid-run second compile a crash risk, CLAUDE.md).
+
+    Counts are taken WITHOUT the random training subsample, so level-0
+    counts upper-bound any subsampled epoch; at coarser levels, however,
+    subsampling shifts the per-axis coordinate min (build_plan's origin),
+    which changes //2 grouping parity, and augmentation (rot/flip/scale/
+    jitter) perturbs occupancy directly — so a safety margin (relative +
+    absolute) is applied before the budget so a shifted epoch never
+    exceeds a width and triggers a second shape set.
     """
     max_counts = [0] * num_levels
     for f in dataset.files:
@@ -133,5 +141,6 @@ def dataset_level_widths(dataset: PseudoDataset, res: float, v0: int,
         q = sparse.quantize_points(xyz, res)
         for lvl, c in enumerate(sparse.plan_level_counts(q, num_levels)):
             max_counts[lvl] = max(max_counts[lvl], c)
+    padded = [int(c * (1.0 + margin)) + margin_abs for c in max_counts]
     return [sparse.level_budget(v0 >> lvl, c)
-            for lvl, c in enumerate(max_counts)]
+            for lvl, c in enumerate(padded)]

@@ -71,8 +71,15 @@ def plan_level_counts(coords_int: np.ndarray, num_levels: int = 5) -> list:
     Cheap pre-scan (np.unique per level, no neighbor maps) used to pick
     uniform static level widths across a whole dataset, so every sample
     shares ONE compiled executable (XLA recompiles per distinct shape set;
-    data-dependent widths would mean one compile per chunk)."""
-    cur = np.unique(np.asarray(coords_int, np.int64), axis=0)
+    data-dependent widths would mean one compile per chunk).
+
+    Mirrors build_plan exactly: coords are shifted to their per-axis min
+    before the stride-2 halvings, because //2 grouping depends on the
+    origin parity (unshifted counts disagree with build_plan on ~half of
+    random samples at levels >= 1)."""
+    coords_int = np.asarray(coords_int, np.int64)
+    coords_int = coords_int - coords_int.min(axis=0)
+    cur = np.unique(coords_int, axis=0)
     counts = []
     for lvl in range(num_levels):
         counts.append(len(cur))

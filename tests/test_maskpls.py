@@ -432,3 +432,44 @@ def test_knn_up_grid_cell_matches_gathered_coords():
     b = np.asarray(sparse.knn_up_grid(*args, cell=lvl["cell"]))
     val = np.asarray(batch["pt_valid"][0])
     np.testing.assert_allclose(b[val], a[val], rtol=1e-4, atol=1e-5)
+
+
+class TestLevelWidthPlanning:
+    """Regression tests for ADVICE r1 (medium): plan_level_counts must
+    mirror build_plan's origin shift, and dataset_level_widths must cover
+    subsample-induced origin parity changes."""
+
+    def test_plan_level_counts_match_build_plan(self):
+        rng = np.random.default_rng(7)
+        for trial in range(20):
+            # random offsets exercise both origin parities at every level
+            coords = rng.integers(0, 40, (500, 3)) + rng.integers(-64, 64, 3)
+            counts = sparse.plan_level_counts(coords)
+            plan = sparse.build_plan(coords, v0=1024)
+            actual = [lvl.num for lvl in plan.levels]
+            assert counts == actual, (trial, counts, actual)
+
+    def test_dataset_level_widths_cover_subsampled_epochs(self, tmp_path):
+        from autoinst_tpu.models.maskpls.pseudo_dataset import (
+            PseudoDataset, dataset_level_widths)
+        rng = np.random.default_rng(3)
+        d = tmp_path / "seq"
+        d.mkdir()
+        for i in range(6):
+            pts = rng.uniform(-20, 20, (4000, 3))
+            np.savez(d / f"chunk_{i}.npz", pts=pts,
+                     ncut_labels=rng.integers(0, 5, 4000))
+        res, v0 = 0.1, 512
+        ds = PseudoDataset(str(tmp_path), sub_pts=3000, subsample=True,
+                           aug=True, split="train", seed=1)
+        widths = dataset_level_widths(ds, res, v0)
+        # many subsampled+augmented epochs: counts must never exceed widths
+        for epoch in range(5):
+            for i in range(len(ds)):
+                it = ds[i]
+                q = sparse.quantize_points(it["xyz"], res)
+                plan = sparse.build_plan(q, v0, level_widths=widths)
+                for lvl, lw in zip(plan.levels, widths):
+                    assert lvl.coords.shape[0] == lw, (
+                        f"width grew {lvl.coords.shape[0]} > {lw}: second "
+                        "shape set => recompile => axon crash risk")
