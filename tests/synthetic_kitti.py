@@ -20,18 +20,62 @@ MOVING_SEM = 252  # moving-car (must be dropped by the MO filter)
 SENSOR_H = 1.723  # sensor height above ground (KITTI velodyne mount)
 
 
-def make_scene_objects(rng, n_objects=4, span=30.0):
+def make_scene_objects(rng, n_objects=4, span=30.0, varied=False,
+                       adjacent_pairs=0):
+    """Objects as (center, size[, kind]) tuples. varied=True mixes boxes
+    (cars), cylinders (trunks) and thin walls; adjacent_pairs adds pairs
+    of objects ~1.2 m apart (the case spatial-only NCut tends to merge)."""
     objs = []
     for i in range(n_objects):
         center = np.array([6.0 + i * span / n_objects,
                            rng.uniform(-7, 7), -SENSOR_H + 0.9])
         size = rng.uniform(1.2, 2.4, size=3)
-        objs.append((center, size))
+        kind = rng.choice(["box", "cyl", "wall"]) if varied else "box"
+        if kind == "wall":
+            size = np.array([rng.uniform(2.5, 4.0), 0.3,
+                             rng.uniform(1.4, 2.2)])
+        objs.append((center, size, kind))
+    for p in range(adjacent_pairs):
+        base = np.array([9.0 + p * span / max(adjacent_pairs, 1),
+                         rng.uniform(-6, 6), -SENSOR_H + 0.8])
+        sz = rng.uniform(1.2, 2.0, size=3)
+        gap = sz[1] / 2 + rng.uniform(0.9, 1.4)
+        objs.append((base, sz, "box"))
+        objs.append((base + np.array([0.0, gap + sz[1] / 2, 0.0]),
+                     rng.uniform(1.2, 2.0, size=3), "box"))
     return objs
 
 
-def _box_points(rng, center, size, n):
+def _obj_points(rng, center, size, n, kind="box"):
+    if kind == "cyl":
+        ang = rng.uniform(0, 2 * np.pi, n)
+        r = size[0] / 2 * np.sqrt(rng.uniform(0, 1, n))
+        z = rng.uniform(-0.5, 0.5, n) * size[2]
+        return center + np.stack([r * np.cos(ang), r * np.sin(ang), z], 1)
     return center + rng.uniform(-0.5, 0.5, size=(n, 3)) * size
+
+
+def _box_points(rng, center, size, n):
+    return _obj_points(rng, center, size, n, "box")
+
+
+def make_clutter(rng, n_clutter, span=30.0):
+    """Small scene clutter: poles (thin vertical cylinders) and bushes
+    (gaussian blobs), 15-80 points each — the singleton-component noise
+    real chunks have after ground removal."""
+    items = []
+    for _ in range(n_clutter):
+        kind = rng.choice(["pole", "bush"])
+        center = np.array([rng.uniform(2.0, 6.0 + span),
+                           rng.uniform(-10, 10), -SENSOR_H + 0.7])
+        if kind == "pole":
+            size = np.array([0.15, 0.15, rng.uniform(1.5, 3.0)])
+            n = int(rng.integers(15, 45))
+        else:
+            size = rng.uniform(0.4, 1.1, size=3)
+            n = int(rng.integers(25, 80))
+        items.append((center, size, "cyl" if kind == "pole" else "box", n))
+    return items
 
 
 def generate_camera_data(root, n_scans, img_w=128, img_h=40,
@@ -63,8 +107,18 @@ def generate_camera_data(root, n_scans, img_w=128, img_h=40,
 
 def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
                       ground_points=2400, seed=0, n_objects=4,
-                      with_moving=True, tarl=True, cams=False):
-    """Write sequence 00 under `root`. Returns (poses_velo, objects)."""
+                      with_moving=True, tarl=True, cams=False,
+                      varied_objects=False, adjacent_pairs=0, n_clutter=0,
+                      ring_ground=False, density_falloff=False):
+    """Write sequence 00 under `root`. Returns (poses_velo, objects).
+
+    Realism knobs (all default-off, keeping the original easy scenes):
+    varied_objects/adjacent_pairs (shape mix + near-adjacent instance
+    pairs), n_clutter (poles/bushes, the small-component noise of real
+    ground-removed chunks), ring_ground (HDL-64-style beam-elevation ring
+    sampling of the ground -> 1/r density falloff + ring structure),
+    density_falloff (object point counts scale ~(10/r)^1.5 with sensor
+    distance)."""
     rng = np.random.default_rng(seed)
     seq = os.path.join(root, "sequences", "00")
     velo_dir = os.path.join(seq, "velodyne")
@@ -76,7 +130,10 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
     if tarl:
         os.makedirs(tarl_dir, exist_ok=True)
 
-    objects = make_scene_objects(rng, n_objects=n_objects)
+    objects = make_scene_objects(rng, n_objects=n_objects,
+                                 varied=varied_objects,
+                                 adjacent_pairs=adjacent_pairs)
+    clutter = make_clutter(rng, n_clutter) if n_clutter else []
 
     # KITTI-style velodyne->camera axis permutation (cam z = velo x,
     # cam x = -velo y, cam y = -velo z) + a small mount offset; intrinsics
@@ -102,24 +159,54 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
         # reader reconstructs T_w_velo = Tr^-1 @ T_w_cam0 @ Tr
         poses_cam.append(Tr @ T @ Tr_inv)
 
-        # ground: annulus 3..20 m around the sensor in world frame
-        ang = rng.uniform(0, 2 * np.pi, ground_points)
-        rad = rng.uniform(3.5, 20.0, ground_points)
+        if ring_ground:
+            # HDL-64-style: ground hit radius set by beam elevation
+            # (r = h / tan(-elev)), 64 elevation bins -> concentric rings
+            # with 1/r density falloff, like a real flat-road scan
+            elev = np.deg2rad(np.linspace(-24.8, -2.0, 64))
+            radii = SENSOR_H / np.tan(-elev)
+            radii = radii[(radii >= 3.0) & (radii <= 45.0)]
+            per_ring = max(8, ground_points // max(len(radii), 1))
+            ang = rng.uniform(0, 2 * np.pi, (len(radii), per_ring))
+            rad = (radii[:, None]
+                   + rng.normal(scale=0.03, size=ang.shape))
+            ang, rad = ang.ravel(), rad.ravel()
+        else:
+            # annulus 3..20 m around the sensor in world frame
+            ang = rng.uniform(0, 2 * np.pi, ground_points)
+            rad = rng.uniform(3.5, 20.0, ground_points)
         gx = t[0] + rad * np.cos(ang)
         gy = rad * np.sin(ang)
-        gz = -SENSOR_H + rng.normal(scale=0.02, size=ground_points)
+        gz = -SENSOR_H + rng.normal(scale=0.02, size=len(rad))
         ground = np.stack([gx, gy, gz], axis=1)
-        g_sem = np.full(ground_points, GROUND_SEM, np.uint32)
-        g_inst = np.zeros(ground_points, np.uint32)
+        g_sem = np.full(len(rad), GROUND_SEM, np.uint32)
+        g_inst = np.zeros(len(rad), np.uint32)
 
         pts_w = [ground]
         sems = [g_sem]
         insts = [g_inst]
-        for oid, (center, size) in enumerate(objects):
-            p = _box_points(rng, center, size, points_per_object)
+
+        def _n_visible(center, n_base):
+            if not density_falloff:
+                return n_base
+            r = max(np.linalg.norm(center[:2] - t[:2]), 3.0)
+            return max(12, int(n_base * min(1.0, (10.0 / r) ** 1.5)))
+
+        for oid, obj in enumerate(objects):
+            center, size, kind = (obj if len(obj) == 3
+                                  else (obj[0], obj[1], "box"))
+            p = _obj_points(rng, center, size,
+                            _n_visible(center, points_per_object), kind)
             pts_w.append(p)
             sems.append(np.full(len(p), OBJECT_SEM, np.uint32))
             insts.append(np.full(len(p), oid + 1, np.uint32))
+        for cid, (center, size, kind, n) in enumerate(clutter):
+            p = _obj_points(rng, center, size, _n_visible(center, n), kind)
+            pts_w.append(p)
+            # vegetation/pole semantics, instance ids above the objects
+            sems.append(np.full(len(p), 70 if kind == "box" else 80,
+                                np.uint32))
+            insts.append(np.full(len(p), 200 + cid, np.uint32))
         if with_moving:
             # a moving car that must vanish after the MO filter
             p = _box_points(rng, np.array([t[0] + 8.0, 3.0, -SENSOR_H + 0.8]),

@@ -62,7 +62,7 @@ def test_world_reconstruction_consistency(kitti_root):
     root, poses, objects = kitti_root
     ds = create_kitti_odometry_dataset(root, 0, ncuts_mode=True,
                                        correct_scan_calibration=False)
-    center0, size0 = objects[0]
+    center0, size0 = objects[0][:2]
     hits = []
     for i in (0, 1):
         e = ds[i]
