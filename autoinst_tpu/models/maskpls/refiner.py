@@ -32,6 +32,14 @@ class RefinerModel:
         data-dependent and each new occupancy pattern recompiles; on the
         axon transport, re-executing an older executable after a newer
         compile also crashes the worker -- see NOTES_ROUND1.md)."""
+        is_torch = weights_path.endswith((".ckpt", ".pt", ".pth"))
+        if is_torch:
+            # reference checkpoints were trained with exact KeOps kNN-up;
+            # the grid approximation would confound parity evaluation
+            # (docs/PARITY.md "kNN-up"), so converted weights default to
+            # the exact path
+            import dataclasses
+            cfg = dataclasses.replace(cfg, knn_mode="exact")
         self.cfg = cfg
         self.v0 = v0
         self.n_points = n_points
@@ -40,7 +48,8 @@ class RefinerModel:
         self.confs_dict = {}
         self.variables = None
         if weights_path and os.path.exists(weights_path):
-            self.variables = self._load_weights(weights_path)
+            self.variables = (self._load_torch(weights_path) if is_torch
+                              else self._load_weights(weights_path))
         self._apply = jax.jit(
             lambda v, b: self.model.apply(v, b, train=False))
 
@@ -54,6 +63,18 @@ class RefinerModel:
         template = {"params": template["params"],
                     "batch_stats": template.get("batch_stats", {})}
         return serialization.from_bytes(template, raw)
+
+    def _load_torch(self, path: str):
+        """Released MaskPLS .ckpt (reference predict_maskpls.py:46-49):
+        torch-load, strip the lightning 'model.' prefix, convert."""
+        import torch
+        from autoinst_tpu.models.maskpls.torch_convert import \
+            convert_state_dict
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        state = ckpt.get("state_dict", ckpt)
+        state = {(k[len("model."):] if k.startswith("model.") else k):
+                 np.asarray(v) for k, v in state.items()}
+        return convert_state_dict(state, self._init_template())
 
     def _init_template(self):
         rng = jax.random.PRNGKey(0)

@@ -79,6 +79,8 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
     # re-executing an older executable after a newer compile fails)
     level_widths = dataset_level_widths(dataset, cfg.resolution, v0)
     print(f"uniform level widths: {level_widths}")
+    with open(os.path.join(ckpt_dir, "level_widths.json"), "w") as fh:
+        json.dump(level_widths, fh)  # refiner/eval reuse -> one executable
 
     def batches():
         order = np.random.default_rng(seed).permutation(len(dataset))

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Self-training quality loop on a medium synthetic map (VERDICT r1 #2).
+
+Phases (run separately; each is resumable via on-disk artifacts):
+  gen       build a hard synthetic KITTI map (clutter, adjacent pairs,
+            ring ground, density falloff) under WORK/kitti
+  export    run the NCuts TARL/Spatial pipeline with self-train export:
+            training chunks under WORK/out_export/train/0
+  baseline  run the same config in TEST_MAP mode -> NCuts metrics JSON
+  train     train MaskPLS on the exported chunks (REAL TPU via the train
+            CLI; run under nohup, takes hours)
+  eval      run the MaskPLS-refined pipeline with the trained weights ->
+            refined metrics JSON; prints refined-vs-NCuts comparison
+
+The reference relationship to reproduce: the refined branch beats the
+NCuts branch on the same map (reference README.md:98 vs :100, +12 AP).
+
+Usage: python scripts/selftrain_demo.py <phase> [--work DIR]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+SEED = 42
+N_SCANS = 80
+STEP = 1.5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def phase_gen(work):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from synthetic_kitti import generate_sequence
+    root = os.path.join(work, "kitti")
+    if os.path.exists(os.path.join(root, "poses", "00.txt")):
+        log("map already generated")
+        return
+    generate_sequence(
+        root, n_scans=N_SCANS, step=STEP, points_per_object=700,
+        ground_points=9000, n_objects=16, seed=SEED, varied_objects=True,
+        adjacent_pairs=4, n_clutter=30, ring_ground=True,
+        density_falloff=True)
+    log("map written to", root)
+
+
+def _factory(root):
+    from autoinst_tpu.datasets import create_kitti_odometry_dataset
+    return lambda seq: create_kitti_odometry_dataset(
+        str(root), seq, ncuts_mode=True)
+
+
+def _base_cfg(work, out_name, **kw):
+    import numpy as np
+    from autoinst_tpu.pipeline.config import (PipelineConfig,
+                                              config_tarl_spatial)
+    root = os.path.join(work, "kitti")
+    cfg = PipelineConfig(
+        dataset_path=root, config=dict(config_tarl_spatial), seqs=(0,),
+        chunk_size=np.array([25, 25, 25]), metrics_min_points=200,
+        min_map_scans=2, ncut_method="eigh", ncut_backend="host",
+        use_pallas=False,
+        out_folder=os.path.join(work, out_name) + "/", **kw)
+    return cfg, _factory(root)
+
+
+def phase_export(work):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from autoinst_tpu.pipeline.run_pipeline import run
+    cfg, factory = _base_cfg(work, "out_export", gen_self_train_data=True)
+    cfg.overlap = 18  # chunk every 7 m (the forced 24 would be ~1/m)
+    run(cfg, dataset_factory=factory)
+    train_dir = os.path.join(cfg.out_folder_train, "0")
+    n = len([f for f in os.listdir(train_dir) if f.endswith(".npz")])
+    log(f"exported {n} training chunks to {train_dir}")
+
+
+def phase_baseline(work):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from autoinst_tpu.pipeline.run_pipeline import run
+    cfg, factory = _base_cfg(work, "out_baseline")
+    cfg.overlap = 3
+    results = run(cfg, dataset_factory=factory)
+    stats = results[0]["sequence"]
+    path = os.path.join(work, "ncuts_baseline.json")
+    with open(path, "w") as fh:
+        json.dump(stats, fh)
+    log("NCuts baseline:", stats)
+
+
+def phase_train(work, epochs, dtype):
+    # real TPU: do NOT force cpu; train CLI handles caching via env
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(REPO, ".jax_cache"))
+    from autoinst_tpu.models.maskpls.model import MaskPLSConfig
+    from autoinst_tpu.models.maskpls.train import train
+    data = os.path.join(work, "out_export", "train")
+    ckpt = os.path.join(work, "ckpts")
+    resume = ""
+    last = os.path.join(ckpt, "maskpls_last.ckpt")
+    if os.path.exists(last):
+        resume = last
+    train(data, epochs=epochs, ckpt_dir=ckpt, resume=resume,
+          v0=32768, n_points=30720, t_max=40, ckpt_every=25,
+          min_points=100, subsample=30000,
+          cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40))
+
+
+def phase_eval(work):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from autoinst_tpu.models.maskpls.model import MaskPLSConfig
+    from autoinst_tpu.pipeline.config import config_maskpls_tarl_spatial
+    from autoinst_tpu.pipeline.run_pipeline import run
+    weights = os.path.join(work, "ckpts", "maskpls_weights.msgpack")
+    widths_file = os.path.join(work, "ckpts", "level_widths.json")
+    kwargs = {"cfg": MaskPLSConfig(num_queries=40), "v0": 32768,
+              "n_points": 30720}
+    if os.path.exists(widths_file):
+        with open(widths_file) as fh:
+            kwargs["level_widths"] = json.load(fh)
+    cfg, factory = _base_cfg(work, "out_refined",
+                             maskpls_weights=weights,
+                             maskpls_kwargs=kwargs)
+    cfg.config = dict(config_maskpls_tarl_spatial)
+    cfg.overlap = 3
+    results = run(cfg, dataset_factory=factory)
+    stats = results[0]["sequence"]
+    path = os.path.join(work, "refined.json")
+    with open(path, "w") as fh:
+        json.dump(stats, fh)
+    log("refined:", stats)
+    base_path = os.path.join(work, "ncuts_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        log("comparison (refined - ncuts):",
+            {k: round(stats[k] - base[k], 4)
+             for k in ("p", "r", "f1", "ap", "S_assoc") if k in base})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("phase", choices=["gen", "export", "baseline", "train",
+                                      "eval"])
+    ap.add_argument("--work", default=os.path.join(REPO, ".selftrain"))
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--dtype", default="bfloat16")
+    args = ap.parse_args()
+    os.makedirs(args.work, exist_ok=True)
+    if args.phase == "gen":
+        phase_gen(args.work)
+    elif args.phase == "export":
+        phase_export(args.work)
+    elif args.phase == "baseline":
+        phase_baseline(args.work)
+    elif args.phase == "train":
+        phase_train(args.work, args.epochs, args.dtype)
+    elif args.phase == "eval":
+        phase_eval(args.work)
+
+
+if __name__ == "__main__":
+    main()

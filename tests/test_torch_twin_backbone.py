@@ -1,0 +1,252 @@
+"""Numerical converter verification against the torch twin (VERDICT r1 #3).
+
+The twin (torch_twin_mink.py) reimplements the reference MaskPLS network
+with ME's kernel layout ([K, Ci, Co], first-axis-fastest region order) and
+reference module naming, so its state_dict() is a stand-in for a real
+checkpoint. Converting it and comparing forwards verifies every converter
+mapping numerically: conv offset permutation + reshape, kernel-1 skips,
+BatchNorm scale/bias/running stats, up-conv transpose semantics, MHA
+in_proj splits, LayerNorm, FFN/MLP/head transposes.
+
+What this cannot pin offline: whether ME's enumeration really is
+first-axis-fastest (no MinkowskiEngine in this environment). The twin
+asserts the converter's documented assumption; docs/PARITY.md describes
+the one-forward check against the released checkpoint that would settle
+it (flipping torch_convert._ME_K3/_ME_K2 if needed).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from autoinst_tpu.models.maskpls import sparse
+from autoinst_tpu.models.maskpls import torch_convert
+from autoinst_tpu.models.maskpls.backbone import MinkUNet
+from autoinst_tpu.models.maskpls.model import MaskPLSConfig, MaskPS
+
+from torch_twin_mink import (TwinMaskPS, TwinMinkUNet, build_maps,
+                             voxelize_mean)
+
+RES = 0.1
+
+
+def _scene(n=420, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = np.concatenate([
+        rng.normal([0, 0, 0], 0.8, (n // 3, 3)),
+        rng.normal([3.5, 1, 0], 0.6, (n // 3, 3)),
+        rng.normal([1, 4, 0.5], 0.7, (n - 2 * (n // 3), 3)),
+    ]).astype(np.float64)
+    return pts
+
+
+def _randomize_bn(module, rng):
+    for m in module.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            c = m.num_features
+            m.running_mean.copy_(torch.as_tensor(
+                rng.normal(0, 0.2, c), dtype=torch.float32))
+            m.running_var.copy_(torch.as_tensor(
+                rng.uniform(0.5, 1.5, c), dtype=torch.float32))
+            with torch.no_grad():
+                m.weight.copy_(torch.as_tensor(
+                    rng.uniform(0.8, 1.2, c), dtype=torch.float32))
+                m.bias.copy_(torch.as_tensor(
+                    rng.normal(0, 0.1, c), dtype=torch.float32))
+
+
+def _prep(pts, v0=1024):
+    """Shared voxelization for both models."""
+    q = sparse.quantize_points(pts, RES)
+    plan = sparse.build_plan(q, v0)
+    feats = np.concatenate([pts, np.ones((len(pts), 1))], 1)
+    batch = sparse.plans_to_batch([plan], [pts.astype(np.float32)],
+                                  [feats.astype(np.float32)], RES, len(pts))
+    batch = jax.tree.map(jnp.asarray, batch)
+    levels = build_maps(q - q.min(axis=0))
+    for lvl, pl in zip(levels, plan.levels):
+        assert len(lvl["coords"]) == pl.num, "twin/plan level size mismatch"
+    tfeats = torch.as_tensor(feats, dtype=torch.float32)
+    vox = voxelize_mean(tfeats, plan.point_voxel, levels[0]["coords"].shape[0])
+    return batch, plan, levels, vox
+
+
+class TestTarlBackboneTwin:
+    def test_converted_voxel_forward_matches_twin(self):
+        pts = _scene(seed=3)
+        batch, plan, levels, vox = _prep(pts)
+
+        torch.manual_seed(0)
+        twin = TwinMinkUNet(input_dim=4, heads=False, relu_updown=True,
+                            res=RES)
+        _randomize_bn(twin, np.random.default_rng(1))
+        twin.eval()
+        with torch.no_grad():
+            y4_t = twin(vox, levels).numpy()
+
+        model = MinkUNet(voxel_output=True, updown_act="relu")
+        variables = model.init(jax.random.PRNGKey(0),
+                               {**batch, "vox_feats": batch["pt_feats"][
+                                   :, :batch["levels"][0]["nbr3"].shape[1]]},
+                               train=False)
+        state = {k: v.detach().numpy() for k, v in
+                 twin.state_dict().items()}
+        conv = torch_convert.convert_tarl_state_dict(state, variables)
+
+        vox_j = jnp.asarray(vox.numpy())[None]
+        y4 = model.apply(conv, {**batch, "vox_feats": vox_j}, train=False)
+        n0 = plan.levels[0].num
+        got, want = np.asarray(y4[0, :n0]), y4_t[:n0]
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-5, f"TARL backbone twin mismatch: rel {rel}"
+
+        # negative control: a scrambled offset permutation must blow up,
+        # proving the comparison is sensitive to the K-dimension mapping
+        orig = torch_convert._PERM_K3
+        try:
+            torch_convert._PERM_K3 = list(reversed(orig))
+            conv_bad = torch_convert.convert_tarl_state_dict(
+                state, variables)
+        finally:
+            torch_convert._PERM_K3 = orig
+        y4b = model.apply(conv_bad, {**batch, "vox_feats": vox_j},
+                          train=False)
+        rel_bad = (np.abs(np.asarray(y4b[0, :n0]) - want).max()
+                   / np.abs(want).max())
+        assert rel_bad > 1e-2, f"wrong-perm control too close: {rel_bad}"
+
+
+@pytest.mark.slow
+class TestMaskPLSTwin:
+    def test_converted_full_forward_matches_twin(self):
+        pts = _scene(seed=5)
+        batch, plan, levels, vox = _prep(pts)
+
+        torch.manual_seed(1)
+        twin = TwinMaskPS(queries=40, res=RES)
+        _randomize_bn(twin, np.random.default_rng(2))
+        twin.eval()
+        tpts = torch.as_tensor(pts, dtype=torch.float32)
+        origin = sparse.quantize_points(pts, RES).min(axis=0)
+        rec = {"outs": []}
+        orig_ph = twin.decoder.pred_heads
+
+        def recording_ph(output, mask_features, pad_mask):
+            out = orig_ph(output, mask_features, pad_mask)
+            rec["outs"].append((out[0].detach().clone(),
+                                out[1].detach().clone()))
+            return out
+
+        twin.decoder.pred_heads = recording_ph
+        with torch.no_grad():
+            out_t, logits_t = twin(vox, levels, tpts, origin)
+
+        cfg = MaskPLSConfig(resolution=RES, num_queries=40,
+                            knn_mode="exact")
+        model = MaskPS(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        state = {k: v.detach().numpy() for k, v in
+                 twin.state_dict().items()}
+        conv = torch_convert.convert_state_dict(state, variables)
+
+        outputs, pad, bb_logits = model.apply(conv, batch, train=False)
+
+        # backbone semantic logits: no attention-threshold discontinuity
+        # on this path -> tight relative tolerance
+        lt = logits_t.numpy()
+        rel_bb = np.abs(np.asarray(bb_logits[0]) - lt).max() / \
+            np.abs(lt).max()
+        assert rel_bb < 1e-4, f"bb_logits rel mismatch {rel_bb}"
+
+        # layer-0 predictions (queries + mask features, before any
+        # attention): tight -- verifies query embeds, decoder_norm,
+        # class/mask heads, mask_feat_proj, positional encoder
+        m0 = np.asarray(outputs["aux_outputs"][0]["pred_masks"][0])
+        w0 = rec["outs"][0][1][0].numpy()
+        rel0 = np.abs(m0 - w0).max() / np.abs(w0).max()
+        assert rel0 < 1e-4, f"aux0 masks rel mismatch {rel0}"
+        c0 = np.asarray(outputs["aux_outputs"][0]["pred_logits"][0])
+        wc0 = rec["outs"][0][0][0].numpy()
+        assert np.abs(c0 - wc0).max() < 1e-3
+
+        # final outputs pass through 10 rounds of sigmoid<0.5 attention
+        # thresholding; borderline key flips at f32 compound across layers
+        # (measured: ~1e-2 relative median), so the final check is loose
+        # and serves as a sanity bound, not the verification itself
+        for key, twin_val, tol in (
+                ("pred_logits", out_t["pred_logits"], 0.2),
+                ("pred_masks", out_t["pred_masks"], 5e-2)):
+            got = np.asarray(outputs[key][0])
+            want = twin_val[0].numpy()
+            scale = max(np.abs(want).max(), 1.0)
+            med = np.median(np.abs(got - want)) / scale
+            assert med < tol, f"{key} relative median {med}"
+
+
+class TestDecoderTwin:
+    def test_decoder_only_matches_twin(self):
+        """Decoder converted weights vs twin on identical synthetic inputs
+        (no backbone noise): verifies MHA in_proj split, LN, FFN, heads."""
+        from torch_twin_mink import TwinDecoder
+        from autoinst_tpu.models.maskpls.decoder import \
+            MaskedTransformerDecoder
+
+        rng = np.random.default_rng(0)
+        N = 200
+        from torch_twin_mink import CS as TCS
+        feats = [rng.normal(0, 1, (1, N, c)).astype(np.float32)
+                 for c in (TCS[4], TCS[6], TCS[7], TCS[8])]
+        coords = rng.uniform(-20, 20, (1, N, 3)).astype(np.float32)
+        padm = np.zeros((1, N), bool)
+
+        torch.manual_seed(3)
+        twin = TwinDecoder(queries=40)
+        twin.eval()
+        with torch.no_grad():
+            out_t = twin([torch.as_tensor(f) for f in feats],
+                         [torch.as_tensor(coords)] * 4,
+                         [torch.as_tensor(padm)] * 4)
+
+        dec = MaskedTransformerDecoder(num_queries=40, num_classes=1)
+        variables = dec.init(jax.random.PRNGKey(0),
+                             [jnp.asarray(f) for f in feats],
+                             jnp.asarray(coords), jnp.asarray(padm))
+        state = {k: v.detach().numpy() for k, v in
+                 twin.state_dict().items()}
+        rules = [(b, s[len("decoder/"):], k)
+                 for b, s, k in torch_convert._rules_decoder()]
+        conv = torch_convert._convert(state, variables, [("", rules)])
+        out = dec.apply(conv, [jnp.asarray(f) for f in feats],
+                        jnp.asarray(coords), jnp.asarray(padm))
+        for key in ("pred_logits", "pred_masks"):
+            got = np.asarray(out[key][0])
+            want = out_t[key][0].numpy()
+            scale = max(np.abs(want).max(), 1.0)
+            assert np.median(np.abs(got - want)) / scale < 2e-3, key
+
+
+class TestRefinerTorchLoad:
+    def test_refiner_loads_lightning_ckpt(self, tmp_path):
+        """RefinerModel consumes a released-format .ckpt (lightning
+        state_dict with 'model.' prefixes) and flips knn_mode to exact."""
+        from autoinst_tpu.models.maskpls.refiner import RefinerModel
+        from autoinst_tpu.utils.pointcloud import PointCloud
+
+        torch.manual_seed(0)
+        twin = TwinMaskPS(queries=8, res=0.1)
+        state = {"model." + k: v for k, v in twin.state_dict().items()}
+        path = tmp_path / "mask_pls.ckpt"
+        torch.save({"state_dict": state}, str(path))
+
+        cfg = MaskPLSConfig(resolution=0.1, num_queries=8)
+        assert cfg.knn_mode == "grid"
+        ref = RefinerModel(weights_path=str(path), cfg=cfg, v0=512,
+                           n_points=512)
+        assert ref.cfg.knn_mode == "exact"
+        assert ref.variables is not None
+        pts = _scene(300, seed=9)
+        out = ref.forward_and_project(PointCloud(pts - pts.mean(0)))
+        assert len(np.asarray(out.colors)) == len(pts)
