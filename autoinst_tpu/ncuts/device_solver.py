@@ -196,17 +196,23 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
         0, C * K, seed_one,
         (q_idx, q_size, q_chunk, q_warm, tails, labels, counters, overflow))
 
+    # run stats (VERDICT r1 #5): while-loop rounds + real (non-padded)
+    # solves per tier; returned so callers can report them
+    stat_rounds = jnp.int32(0)
+    stat_solves = jnp.zeros((n_tiers,), jnp.int32)
+
     def pack(q_idx, q_size, q_chunk, q_warm, heads, tails, labels, counters,
-             overflow):
+             overflow, stat_rounds, stat_solves):
         return (*q_idx, *q_size, *q_chunk, *q_warm, *heads, *tails, labels,
-                counters, overflow)
+                counters, overflow, stat_rounds, stat_solves)
 
     def unpack(state):
         k = n_tiers
         return (list(state[0:k]), list(state[k:2 * k]),
                 list(state[2 * k:3 * k]), list(state[3 * k:4 * k]),
                 list(state[4 * k:5 * k]), list(state[5 * k:6 * k]),
-                state[6 * k], state[6 * k + 1], state[6 * k + 2])
+                state[6 * k], state[6 * k + 1], state[6 * k + 2],
+                state[6 * k + 3], state[6 * k + 4])
 
     def solve_tier(width, chunks, idxs, sizes, warms):
         iota_w = jnp.arange(width, dtype=jnp.int32)
@@ -231,11 +237,12 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
             return process
 
         def _process_tier(state, t):
-            q_idx, q_size, q_chunk, q_warm, heads, tails, labels, counters, \
-                overflow = unpack(state)
+            (q_idx, q_size, q_chunk, q_warm, heads, tails, labels, counters,
+             overflow, stat_rounds, stat_solves) = unpack(state)
             width, nb, cap = tiers[t]
             iota_w = jnp.arange(width, dtype=jnp.int32)
             n_proc = jnp.minimum(tails[t] - heads[t], nb)
+            stat_solves = stat_solves.at[t].add(n_proc)
             slots = heads[t] + jnp.arange(nb, dtype=jnp.int32)
             active = jnp.arange(nb) < n_proc
             slots_c = jnp.where(active, slots % cap, 0)
@@ -333,40 +340,63 @@ def _device_ncut(W: jax.Array, num_valids: jax.Array, T: float,
              overflow) = st
             heads[t] = heads[t] + n_proc
             return pack(q_idx, q_size, q_chunk, q_warm, heads, tails, labels,
-                        counters, overflow)
+                        counters, overflow, stat_rounds, stat_solves)
 
+        # count the round (stats live in the last two state slots)
+        state = state[:-2] + (state[-2] + 1, state[-1])
         # skip empty tiers entirely: without the cond, an idle tier would
         # still pay its full vmapped solve on dummy slots every iteration
         for t in range(len(tiers)):
-            _, _, _, _, heads, tails, _, _, _ = unpack(state)
+            _, _, _, _, heads, tails, _, _, _, _, _ = unpack(state)
             state = jax.lax.cond(tails[t] > heads[t], make_tier(t),
                                  lambda s: s, state)
         return state
 
     def cond(state):
-        _, _, _, _, heads, tails, _, _, _ = unpack(state)
+        _, _, _, _, heads, tails, _, _, _, _, _ = unpack(state)
         pending = heads[0] < tails[0]
         for t in range(1, n_tiers):
             pending = pending | (heads[t] < tails[t])
         return pending
 
     state = pack(q_idx, q_size, q_chunk, q_warm, heads, tails, labels,
-                 counters, overflow)
+                 counters, overflow, stat_rounds, stat_solves)
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, _, _, _, labels, counters, overflow = unpack(state)
-    return labels, counters, overflow
+    (_, _, _, _, _, _, labels, counters, overflow, stat_rounds,
+     stat_solves) = unpack(state)
+    return labels, counters, overflow, stat_rounds, stat_solves
+
+
+# last-run statistics (reset per recursive_ncut_device call): while-loop
+# rounds, real solves per tier, queue overflows, host fallbacks
+STATS = {"rounds": 0, "solves_per_tier": {}, "overflow": 0,
+         "host_fallbacks": 0, "calls": 0}
 
 
 def recursive_ncut_device(W: jax.Array, num_valids, T: float = 0.03,
                           split_lim: float = 0.01, iters: int = 240,
                           seed_cap: int = _SEED_CAP) -> list[np.ndarray]:
     """Device-resident equivalent of solver.recursive_ncut_batch (one
-    dispatch per chunk batch). Raises on node-queue overflow."""
+    dispatch per chunk batch). Raises on node-queue overflow.
+
+    Chunks wider than the largest tier (16,384) fall back to the host
+    worklist (solver.recursive_ncut_batch) instead of raising -- rare
+    post-downsample, but a real map must never die on one outsized chunk.
+    Run statistics land in STATS (rounds / solves per tier / overflow)."""
     num_valids = np.atleast_1d(np.asarray(num_valids, np.int32))
+    STATS["calls"] += 1
+    if W.shape[1] > _TIERS[-1][0]:
+        from autoinst_tpu.ncuts.solver import recursive_ncut_batch
+        STATS["host_fallbacks"] += 1
+        return recursive_ncut_batch(W, num_valids, T=T, split_lim=split_lim)
     tiers = _tiers_for(W.shape[1])
-    labels, counters, overflow = _device_ncut(
+    labels, counters, overflow, rounds, solves = _device_ncut(
         W, jnp.asarray(num_valids), float(T), float(split_lim), int(iters),
         tiers, seed_cap=int(seed_cap))
+    STATS["rounds"] = int(rounds)
+    STATS["solves_per_tier"] = {int(w): int(s) for (w, _, _), s
+                                in zip(tiers, np.asarray(solves))}
+    STATS["overflow"] = int(overflow)
     if int(overflow) > 0:
         raise RuntimeError(f"device NCut queue overflow ({int(overflow)} "
                            f"nodes); raise tier capacities")

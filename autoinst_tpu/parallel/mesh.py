@@ -102,9 +102,10 @@ def recursive_ncut_device_sharded(W, num_valids, mesh: Mesh, T: float = 0.03,
     cap = device_solver._SEED_CAP if seed_cap is None else int(seed_cap)
 
     def local(w, nv):
-        labels, counters, overflow = device_solver._device_ncut(
-            w, nv, float(T), float(split_lim), int(iters), tiers,
-            seed_cap=cap)
+        labels, counters, overflow, _rounds, _solves = \
+            device_solver._device_ncut(
+                w, nv, float(T), float(split_lim), int(iters), tiers,
+                seed_cap=cap)
         return labels, counters, overflow.reshape(1)
 
     # check_vma/check_rep: the solver's while_loop carries mix shard-varying

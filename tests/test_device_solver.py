@@ -105,3 +105,40 @@ def test_connected_components_vs_scipy():
             assert remap.setdefault(o, s) == s
         assert len(set(remap.values())) == len(remap)
         assert (lab[c, n:] == -1).all()
+
+
+def test_stats_populated():
+    """VERDICT r1 #5: the device worklist must report rounds/solves."""
+    from autoinst_tpu.ncuts import device_solver
+    pts, _ = clustered_points(seed=2, n_per=40)
+    W = affinity_oracle(pts)
+    n = len(pts)
+    Wp = np.zeros((1, 256, 256), np.float32)
+    Wp[0, :n, :n] = W
+    labels = recursive_ncut_device(jnp.asarray(Wp), [n], T=0.1)
+    assert device_solver.STATS["rounds"] >= 1
+    assert sum(device_solver.STATS["solves_per_tier"].values()) >= 1
+    assert device_solver.STATS["overflow"] == 0
+    assert len(np.unique(labels[0])) >= 3
+
+
+def test_large_chunk_host_fallback():
+    """Chunks wider than the top tier route to the host worklist instead
+    of raising (VERDICT r1 #9)."""
+    from autoinst_tpu.ncuts import device_solver
+    pts, gt = clustered_points(seed=3, n_per=50, centers=((0, 0, 0), (4, 0, 0), (0, 5, 2), (6, 5, 0)))
+    W = affinity_oracle(pts)
+    n = len(pts)
+    # shrink the tier table so "too large" is cheap to construct
+    orig = device_solver._TIERS
+    try:
+        device_solver._TIERS = ((64, 8, 512), (128, 4, 128))
+        Wp = np.zeros((1, n, n), np.float32)
+        Wp[0] = W
+        before = device_solver.STATS["host_fallbacks"]
+        labels = recursive_ncut_device(jnp.asarray(Wp), [n], T=0.1)
+        assert device_solver.STATS["host_fallbacks"] == before + 1
+    finally:
+        device_solver._TIERS = orig
+    host = recursive_ncut_batch(jnp.asarray(Wp), [n], T=0.1)
+    assert partition_sets(labels[0]) == partition_sets(host[0])
