@@ -56,6 +56,17 @@ class MaskPLSConfig:
     remat: bool = False          # rematerialize backbone conv blocks
     # (jax.checkpoint) to fit large point budgets in HBM
     knn_mode: str = "grid"       # voxel->point kNN-up: "grid" | "exact"
+    # optional loss terms; defaults match the reference's SHIPPED behavior
+    # (model.yaml: FREEPOINT_LOSS False; loss.py: self.drop_loss = False;
+    # sem_loss constructed but unused by the class-agnostic getLoss,
+    # mask_model.py:31,47-53)
+    sem_loss: bool = False       # SemLoss on bb_logits (loss.py:366-476)
+    sem_w: tuple = (2.0, 6.0)    # (CE, Lovasz) weights (model.yaml SEM)
+    freepoint_loss: bool = False  # box/center terms (loss.py:296-340)
+    w_box: float = 0.5
+    w_center: float = 1.0
+    drop_loss: bool = False      # drop low-IoU matched masks (loss.py:247+)
+    drop_loss_thresh: float = 0.15
 
 
 class MaskPS(nn.Module):
@@ -194,11 +205,46 @@ def hungarian_match_host(all_costs: jax.Array) -> jax.Array:
                             ).astype(jnp.int32)
 
 
-def level_losses(outputs, targets, assign, pool, cfg: MaskPLSConfig):
+def _box_center_losses(pred, tgt, coords_pool, tgt_valid_b):
+    """FREEPOINT box + center terms for one sample (loss.py:296-340).
+
+    pred/tgt [T, S] (matched mask logits / binary targets on the sampled
+    pool), coords_pool [S, 3]. Each sampled point is assigned to its
+    argmax mask; per-mask center/min/max of the point coords feed
+    Frobenius-norm penalties (the reference's torch.norm(..., p=2).sum()
+    over the [T, 3] matrix)."""
+    t, s = pred.shape
+    winner = jnp.argmax(pred, axis=0)                       # [S]
+    pmask = (jax.nn.one_hot(winner, t, axis=0)
+             * tgt_valid_b[:, None])                        # [T, S]
+    gmask = tgt * tgt_valid_b[:, None]
+
+    def stats(m):
+        cnt = jnp.sum(m, axis=1)                            # [T]
+        ctr = (m @ coords_pool) / jnp.maximum(cnt, 1.0)[:, None]
+        big = 1e9
+        mins = jnp.min(jnp.where(m[..., None] > 0, coords_pool[None],
+                                 big), axis=1)
+        maxs = jnp.max(jnp.where(m[..., None] > 0, coords_pool[None],
+                                 -big), axis=1)
+        has = (cnt > 0)[:, None]
+        return (jnp.where(has, ctr, 0.0), jnp.where(has, mins, 0.0),
+                jnp.where(has, maxs, 0.0))
+
+    pc, pmin, pmax = stats(pmask)
+    gc, gmin, gmax = stats(gmask)
+    box = (jnp.linalg.norm(pmin - gmin) + jnp.linalg.norm(gmax - pmax))
+    center = jnp.linalg.norm(pc - gc)
+    return box, center
+
+
+def level_losses(outputs, targets, assign, pool, cfg: MaskPLSConfig,
+                 coords=None):
     """CE + dice + mask losses for one level given the matching.
 
     assign [B, T]: query index per target. pool [B, P_pool]: shared sampled
-    point ids per batch element."""
+    point ids per batch element. coords [B, P, 3] (point coords, needed
+    when cfg.freepoint_loss)."""
     logits = outputs["pred_logits"]          # [B, Q, C+1]
     masks = outputs["pred_masks"]            # [B, P, Q]
     tgt_cls = targets["classes"]
@@ -215,7 +261,6 @@ def level_losses(outputs, targets, assign, pool, cfg: MaskPLSConfig):
         lambda tc, qi, up: tc.at[qi].set(up))(target_classes, qidx, updates)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)
-    loss_ce = jnp.mean(ce)
 
     # ---- mask + dice on the shared pool (loss.py:159-213)
     num_masks = jnp.maximum(jnp.sum(tgt_valid), 1.0)
@@ -228,14 +273,91 @@ def level_losses(outputs, targets, assign, pool, cfg: MaskPLSConfig):
         num = 2 * jnp.sum(sig * tgt, axis=1)
         den = jnp.sum(sig, axis=1) + jnp.sum(tgt, axis=1)
         ld = 1 - (num + 1) / (den + 1)
-        return lm, ld
+        # per-target IoU of the argmax-assignment masks (loss.py:247-274
+        # batch_iou) for the drop-loss filter
+        winner = jnp.argmax(pred, axis=0)
+        pm = jax.nn.one_hot(winner, pred.shape[0], axis=0)
+        inter = jnp.sum(pm * tgt, axis=1)
+        union = jnp.sum(pm, axis=1) + jnp.sum(tgt, axis=1) - inter
+        iou = inter / jnp.maximum(union, 1.0)
+        return lm, ld, iou
 
-    lm, ld = jax.vmap(one)(masks, tgt_msk, assign, pool)
-    loss_mask = jnp.sum(lm * tgt_valid) / num_masks
-    loss_dice = jnp.sum(ld * tgt_valid) / num_masks
-    return {"loss_ce": loss_ce * cfg.w_ce,
-            "loss_mask": loss_mask * cfg.w_mask,
-            "loss_dice": loss_dice * cfg.w_dice}
+    lm, ld, iou = jax.vmap(one)(masks, tgt_msk, assign, pool)
+
+    if cfg.drop_loss:
+        # keep only matched masks whose argmax-IoU clears the threshold
+        # (reference loss.py:34,243-274 -- shipped disabled, keep weights
+        # replace the dynamic keep_idcs gather for static shapes)
+        keep = (iou > cfg.drop_loss_thresh).astype(jnp.float32) * tgt_valid
+        denom = jnp.maximum(jnp.sum(keep), 1.0)
+        loss_mask = jnp.sum(lm * keep) / denom
+        loss_dice = jnp.sum(ld * keep) / denom
+        # CE: weight matched-query terms by keep, unmatched as usual
+        ce_w = jnp.ones((b, q))
+        ce_w = jax.vmap(lambda w, qi, kp: w.at[qi].set(kp))(
+            ce_w, qidx, keep)
+        loss_ce = jnp.sum(ce[..., 0] * ce_w) / jnp.maximum(
+            jnp.sum(ce_w), 1.0)
+    else:
+        loss_mask = jnp.sum(lm * tgt_valid) / num_masks
+        loss_dice = jnp.sum(ld * tgt_valid) / num_masks
+        loss_ce = jnp.mean(ce)
+
+    out = {"loss_ce": loss_ce * cfg.w_ce,
+           "loss_mask": loss_mask * cfg.w_mask,
+           "loss_dice": loss_dice * cfg.w_dice}
+
+    if cfg.freepoint_loss:
+        assert coords is not None, "freepoint_loss needs point coords"
+
+        def one_box(mask_b, tmask_b, assign_b, pool_b, coords_b, tv_b):
+            pred = mask_b.T[assign_b][:, pool_b]
+            tgt = tmask_b[:, pool_b]
+            return _box_center_losses(pred, tgt, coords_b[pool_b], tv_b)
+
+        box, center = jax.vmap(one_box)(masks, tgt_msk, assign, pool,
+                                        coords, tgt_valid)
+        out["loss_box"] = jnp.sum(box) / num_masks * cfg.w_box
+        out["loss_center"] = jnp.sum(center) / num_masks * cfg.w_center
+    return out
+
+
+def sem_loss_fn(bb_logits, sem_labels, pt_valid, w_ce, w_lov):
+    """SemLoss: CE (ignore class 0) + Lovasz-softmax on the backbone's
+    per-point semantic head (reference loss.py:366-476; constructed with
+    weights [2, 6] in mask_model.py:31 but unused by the shipped
+    class-agnostic run -- gate with cfg.sem_loss).
+
+    bb_logits [B, N, C], sem_labels [B, N] int32, pt_valid [B, N]."""
+    b, n, c = bb_logits.shape
+    logp = jax.nn.log_softmax(bb_logits, -1)
+    lab = jnp.clip(sem_labels, 0, c - 1)
+    ce_all = -jnp.take_along_axis(logp, lab[..., None], -1)[..., 0]
+    valid_ce = pt_valid & (sem_labels != 0)      # ignore_index=0
+    ce = jnp.sum(ce_all * valid_ce) / jnp.maximum(jnp.sum(valid_ce), 1)
+
+    probas = jax.nn.softmax(bb_logits, -1).reshape(b * n, c)
+    labels = sem_labels.reshape(-1)
+    valid = pt_valid.reshape(-1)
+
+    def per_class(cid):
+        fg = ((labels == cid) & valid).astype(jnp.float32)
+        pred = probas[:, cid]
+        # invalid entries: error 0 -> sorted last -> contribute exactly 0
+        errors = jnp.where(valid, jnp.abs(fg - pred), 0.0)
+        order = jnp.argsort(-errors)
+        e_sorted = errors[order]
+        fg_sorted = fg[order]
+        gts = jnp.sum(fg_sorted)
+        inter = gts - jnp.cumsum(fg_sorted)
+        union = gts + jnp.cumsum(1.0 - fg_sorted)
+        jac = 1.0 - inter / union
+        grad = jnp.concatenate([jac[:1], jac[1:] - jac[:-1]])
+        return jnp.dot(e_sorted, grad), (gts > 0).astype(jnp.float32)
+
+    losses, present = jax.vmap(per_class)(jnp.arange(c))
+    lov = jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
+    return {"sem_ce": w_ce * ce, "sem_lov": w_lov * lov}
 
 
 def sample_point_pool(rng, targets, cfg: MaskPLSConfig, p_total: int):
@@ -264,9 +386,9 @@ def sample_point_pool(rng, targets, cfg: MaskPLSConfig, p_total: int):
     return jax.vmap(one)(keys, tgt_msk, targets["valid"], nvalid)
 
 
-def mask_loss(outputs, targets, rng, cfg: MaskPLSConfig):
+def mask_loss(outputs, targets, rng, cfg: MaskPLSConfig, coords=None):
     """Total DETR-style loss over the final + auxiliary levels
-    (loss.py:54-103)."""
+    (loss.py:54-103). coords [B, P, 3]: required when cfg.freepoint_loss."""
     levels = [outputs] + list(outputs.get("aux_outputs", []))
     k_match, k_pool = jax.random.split(rng)
     costs = jnp.stack([
@@ -279,7 +401,7 @@ def mask_loss(outputs, targets, rng, cfg: MaskPLSConfig):
     losses = {}
     total = 0.0
     for i, lvl in enumerate(levels):
-        ld = level_losses(lvl, targets, assign[i], pool, cfg)
+        ld = level_losses(lvl, targets, assign[i], pool, cfg, coords=coords)
         prefix = "" if i == 0 else f"{i - 1}_"
         for k, v in ld.items():
             losses[prefix + k] = v
@@ -387,7 +509,14 @@ def train_step(state, batch, targets, rng, cfg: MaskPLSConfig):
             {"params": params, "batch_stats": state.batch_stats},
             batch, train=True, mutable=["batch_stats"])
         out, pad, bb_logits = outputs
-        total, parts = mask_loss(out, targets, rng, cfg)
+        total, parts = mask_loss(out, targets, rng, cfg,
+                                 coords=batch["pt_coords"])
+        if cfg.sem_loss and "sem_labels" in targets:
+            sem = sem_loss_fn(bb_logits, targets["sem_labels"],
+                              batch["pt_valid"], *cfg.sem_w)
+            for k, v in sem.items():
+                parts = {**parts, k: v}
+                total = total + v
         return total, (parts, mutated["batch_stats"])
 
     (total, (parts, new_stats)), grads = jax.value_and_grad(

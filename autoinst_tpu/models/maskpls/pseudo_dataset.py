@@ -112,6 +112,12 @@ def collate(items: list, res: float, v0: int, n_points: int, t_max: int,
         valid[i, :t] = True
     targets = {"classes": classes, "masks": masks, "valid": valid,
                "point_valid": batch["pt_valid"]}
+    if all("sem_labels" in it for it in items):
+        sem = np.zeros((b, n_points), np.int32)
+        for i, it in enumerate(items):
+            n = min(len(it["sem_labels"]), n_points)
+            sem[i, :n] = it["sem_labels"][:n]
+        targets["sem_labels"] = sem
     return batch, targets
 
 
@@ -134,10 +140,13 @@ def dataset_level_widths(dataset: PseudoDataset, res: float, v0: int,
     exceeds a width and triggers a second shape set.
     """
     max_counts = [0] * num_levels
-    for f in dataset.files:
-        with np.load(f) as data:
-            xyz = data["pts"].astype(np.float64)
-        xyz = xyz - xyz.mean(axis=0)
+    for i, f in enumerate(dataset.files):
+        if hasattr(dataset, "full_xyz"):
+            xyz = dataset.full_xyz(i)   # un-subsampled item coordinates
+        else:
+            with np.load(f) as data:
+                xyz = data["pts"].astype(np.float64)
+            xyz = xyz - xyz.mean(axis=0)
         q = sparse.quantize_points(xyz, res)
         for lvl, c in enumerate(sparse.plan_level_counts(q, num_levels)):
             max_counts[lvl] = max(max_counts[lvl], c)

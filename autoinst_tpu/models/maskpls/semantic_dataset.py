@@ -51,6 +51,16 @@ class SemanticKittiScanDataset:
     def __len__(self):
         return len(self.files)
 
+    def full_xyz(self, index: int) -> np.ndarray:
+        """Un-subsampled item coordinates (for dataset_level_widths)."""
+        _, path = self.files[index]
+        xyz = np.fromfile(path, np.float32).reshape(-1, 4)[:, :3] \
+            .astype(np.float64)
+        keep = np.ones(len(xyz), bool)
+        for d, (lo, hi) in enumerate(self.space):
+            keep &= (xyz[:, d] >= lo) & (xyz[:, d] <= hi)
+        return xyz[keep]
+
     def _labels(self, seq: int, scan_path: str):
         label_path = scan_path.replace("velodyne", "labels").replace(
             ".bin", ".label")

@@ -64,10 +64,27 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
           resume: str = "", cfg: MaskPLSConfig = MaskPLSConfig(),
           v0: int = 65536, n_points: int = 81920, t_max: int = 40,
           ckpt_every: int = 1, seed: int = 0, subsample: int = 80000,
-          min_points: int = 100, limit_steps: int | None = None):
-    dataset = PseudoDataset(data_path, min_points=min_points,
-                            sub_pts=subsample, subsample=True, aug=False,
-                            seed=seed)
+          min_points: int = 100, limit_steps: int | None = None,
+          dataset_kind: str = "pseudo", cache_batches: int = 0):
+    """dataset_kind: 'pseudo' = NCuts pseudo-label chunks (class-agnostic
+    self-training), 'semantic' = GT SemanticKITTI scans (supervised; items
+    carry sem_labels so cfg.sem_loss can supervise the backbone head).
+
+    cache_batches: 0 = collate every step (reference behavior, fresh
+    subsample per epoch); K>0 = precompute K subsample draws per chunk and
+    cycle them across epochs. The host-side VoxelPlan build is O(seconds)
+    per 30k-point chunk on a small host -- without the cache it, not the
+    TPU step, bounds throughput."""
+    if dataset_kind == "semantic":
+        from autoinst_tpu.models.maskpls.semantic_dataset import \
+            SemanticKittiScanDataset
+        dataset = SemanticKittiScanDataset(
+            data_path, split="train", min_points=min_points,
+            sub_pts=subsample, subsample=True, seed=seed)
+    else:
+        dataset = PseudoDataset(data_path, min_points=min_points,
+                                sub_pts=subsample, subsample=True, aug=False,
+                                seed=seed)
     if len(dataset) == 0:
         raise ValueError(f"no training chunks under {data_path}")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -82,17 +99,31 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
     with open(os.path.join(ckpt_dir, "level_widths.json"), "w") as fh:
         json.dump(level_widths, fh)  # refiner/eval reuse -> one executable
 
-    def batches():
-        order = np.random.default_rng(seed).permutation(len(dataset))
+    cached = {}  # (chunk index, draw) -> collated (batch, targets)
+
+    def make_batch(i):
+        item = dataset[int(i)]
+        if len(item["classes"]) == 0:
+            return None  # skip chunks without instances (pseudo_dataset
+            # reference :215-222 resamples; we skip)
+        batch, targets = collate([item], cfg.resolution, v0, n_points,
+                                 t_max, level_widths=level_widths)
+        return (jax.tree.map(jnp.asarray, batch),
+                jax.tree.map(jnp.asarray, targets))
+
+    def batches(epoch=0):
+        order = np.random.default_rng(seed + epoch).permutation(
+            len(dataset))
         for i in order:
-            item = dataset[int(i)]
-            if len(item["classes"]) == 0:
-                continue  # skip chunks without instances (pseudo_dataset
-                # reference :215-222 resamples; we skip)
-            batch, targets = collate([item], cfg.resolution, v0, n_points,
-                                     t_max, level_widths=level_widths)
-            yield (jax.tree.map(jnp.asarray, batch),
-                   jax.tree.map(jnp.asarray, targets))
+            if cache_batches > 0:
+                key = (int(i), epoch % cache_batches)
+                if key not in cached:
+                    cached[key] = make_batch(i)
+                out = cached[key]
+            else:
+                out = make_batch(i)
+            if out is not None:
+                yield out
 
     example = next(batches())
     state = create_train_state(jax.random.PRNGKey(seed), cfg, example[0])
@@ -105,16 +136,26 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
     for epoch in range(epochs):
         t0 = time.time()
         losses = []
-        for batch, targets in batches():
+        part_sums = {}
+        for batch, targets in batches(epoch):
             rng, sub = jax.random.split(rng)
             state, total, parts = train_step(state, batch, targets, sub, cfg)
             losses.append(float(total))
+            # final-level loss terms only (aux levels are prefixed "i_")
+            for k, v in parts.items():
+                if k != "total" and not k[0].isdigit():
+                    part_sums[k] = part_sums.get(k, 0.0) + float(v)
             step += 1
             if limit_steps and step >= limit_steps:
                 break
+        secs = time.time() - t0
+        n_steps = max(len(losses), 1)
+        # JSONL telemetry (replaces the reference's wandb/TensorBoard role,
+        # train_model.py:40-45): total + per-term means, lr, s/step
         entry = {"epoch": epoch, "step": step,
                  "loss": float(np.mean(losses)) if losses else None,
-                 "secs": time.time() - t0}
+                 "secs": secs, "s_per_step": secs / n_steps, "lr": cfg.lr,
+                 **{k: v / n_steps for k, v in sorted(part_sums.items())}}
         with open(log_path, "a") as fh:
             fh.write(json.dumps(entry) + "\n")
         print(entry)
@@ -146,12 +187,22 @@ def main():
                     help="backbone GEMM compute dtype (bfloat16 = MXU-"
                          "native, ~16%% faster at 30k points)")
     ap.add_argument("--queries", type=int, default=40)
+    ap.add_argument("--dataset", default="pseudo",
+                    choices=("pseudo", "semantic"),
+                    help="pseudo = NCuts chunk export; semantic = GT "
+                         "SemanticKITTI scans (supervised)")
+    ap.add_argument("--num-classes", type=int, default=1)
+    ap.add_argument("--sem-loss", action="store_true",
+                    help="add SemLoss (CE+Lovasz) on the backbone "
+                         "semantic head (reference loss.py:366-476)")
     args = ap.parse_args()
     train(args.data, epochs=args.epochs, ckpt_dir=args.ckpt_dir,
           resume=args.resume, n_points=args.n_points, v0=args.v0,
-          ckpt_every=args.ckpt_every,
+          ckpt_every=args.ckpt_every, dataset_kind=args.dataset,
           cfg=MaskPLSConfig(compute_dtype=args.dtype,
-                            num_queries=args.queries))
+                            num_queries=args.queries,
+                            num_classes=args.num_classes,
+                            sem_loss=args.sem_loss))
 
 
 if __name__ == "__main__":

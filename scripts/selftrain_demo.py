@@ -112,7 +112,7 @@ def phase_train(work, epochs, dtype):
         resume = last
     train(data, epochs=epochs, ckpt_dir=ckpt, resume=resume,
           v0=32768, n_points=30720, t_max=40, ckpt_every=25,
-          min_points=100, subsample=30000,
+          min_points=100, subsample=30000, cache_batches=2,
           cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40))
 
 
