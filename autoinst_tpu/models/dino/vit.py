@@ -69,6 +69,53 @@ class Block(nn.Module):
         return x + g2 * y
 
 
+def _cubic_weights(t: jax.Array, A: float = -0.75):
+    """torch bicubic convolution weights (cubic_convolution1/2, A=-0.75)
+    for the 4 taps at offsets [-1, 0, 1, 2] around floor(src)."""
+    def k(x):
+        ax = jnp.abs(x)
+        w1 = ((A + 2) * ax - (A + 3)) * ax * ax + 1          # |x| <= 1
+        w2 = (((ax - 5) * ax + 8) * ax - 4) * A              # 1 < |x| < 2
+        return jnp.where(ax <= 1, w1, jnp.where(ax < 2, w2, 0.0))
+    return jnp.stack([k(t + 1), k(t), k(1 - t), k(2 - t)], axis=-1)
+
+
+def _bicubic_1d(x: jax.Array, out_len: int, scale: float, axis: int):
+    """torch F.interpolate bicubic along one axis (align_corners=False,
+    scale passed directly i.e. recompute_scale_factor=False): source
+    coordinate (i + 0.5)/scale - 0.5, border-clamped 4-tap cubic."""
+    g = x.shape[axis]
+    dst = jnp.arange(out_len, dtype=jnp.float32)
+    src = (dst + 0.5) / scale - 0.5
+    i0 = jnp.floor(src)
+    t = src - i0
+    w = _cubic_weights(t)                                    # [out, 4]
+    idx = jnp.clip(i0[:, None].astype(jnp.int32)
+                   + jnp.arange(-1, 3)[None, :], 0, g - 1)   # [out, 4]
+    taps = jnp.take(x, idx.reshape(-1), axis=axis)
+    shape = list(x.shape)
+    shape[axis:axis + 1] = [out_len, 4]
+    taps = taps.reshape(shape)
+    wshape = [1] * len(shape)
+    wshape[axis], wshape[axis + 1] = out_len, 4
+    return jnp.sum(taps * w.reshape(wshape), axis=axis + 1)
+
+
+def _torch_bicubic_pos_resize(grid: jax.Array, h: int, w: int) -> jax.Array:
+    """Positional-embedding resize exactly matching the reference
+    (2D-VFMs/dinov2/extractor.py:73-97): torch bicubic (A=-0.75) with the
+    DINO w0+0.1 scale-factor trick -- including the inherited h/w
+    transposition quirk: the grid is resized to (w, h) in that axis order
+    and flat-added to the (h, w)-ordered tokens. grid [1, g, g, D] ->
+    [1, h*w, D]."""
+    g = grid.shape[1]
+    if h == w == g:   # reference identity shortcut (extractor.py:76-77)
+        return grid.reshape(1, g * g, grid.shape[-1])
+    out = _bicubic_1d(grid, w, (w + 0.1) / g, axis=1)
+    out = _bicubic_1d(out, h, (h + 0.1) / g, axis=2)
+    return out.reshape(1, h * w, grid.shape[-1])
+
+
 class ViTDense(nn.Module):
     dim: int = 384           # ViT-S
     heads: int = 6
@@ -97,8 +144,7 @@ class ViTDense(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, g * g + 1, self.dim))
         grid = pos[:, 1:].reshape(1, g, g, self.dim)
-        grid = jax.image.resize(grid, (1, h, w, self.dim), "bicubic")
-        x = x + grid.reshape(1, h * w, self.dim)
+        x = x + _torch_bicubic_pos_resize(grid, h, w)
         x = jnp.concatenate([jnp.tile(cls + pos[:, :1], (b, 1, 1)), x],
                             axis=1)
 

@@ -123,7 +123,8 @@ def collate(items: list, res: float, v0: int, n_points: int, t_max: int,
 
 def dataset_level_widths(dataset: PseudoDataset, res: float, v0: int,
                          num_levels: int = 5, margin: float = 0.05,
-                         margin_abs: int = 64) -> list:
+                         margin_abs: int = 64, sub_pts: int | None = None,
+                         n_draws: int = 2) -> list:
     """Uniform static level widths covering every chunk in the dataset.
 
     One pass of cheap unique-coordinate counting (no neighbor maps); the
@@ -131,15 +132,20 @@ def dataset_level_widths(dataset: PseudoDataset, res: float, v0: int,
     so the jitted train step compiles exactly once per run (the axon
     transport bug makes a mid-run second compile a crash risk, CLAUDE.md).
 
-    Counts are taken WITHOUT the random training subsample, so level-0
-    counts upper-bound any subsampled epoch; at coarser levels, however,
-    subsampling shifts the per-axis coordinate min (build_plan's origin),
-    which changes //2 grouping parity, and augmentation (rot/flip/scale/
-    jitter) perturbs occupancy directly — so a safety margin (relative +
-    absolute) is applied before the budget so a shifted epoch never
+    sub_pts: when the training run subsamples chunks (PseudoDataset
+    sub_pts), pass it so widths measure SUBSAMPLED occupancy -- counting
+    the full 100k+-point chunk would pad every level ~(full/sub)x too
+    wide and multiply the train-step cost accordingly. Occupancy is
+    counted on n_draws fixed-seed subsample draws (hypergeometric
+    occupancy concentrates tightly across draws).
+
+    The safety margin (relative + absolute) covers draw variation,
+    subsample-induced origin parity shifts at coarse levels, and
+    augmentation (rot/flip/scale/jitter), so a training epoch never
     exceeds a width and triggers a second shape set.
     """
     max_counts = [0] * num_levels
+    rng = np.random.default_rng(12345)
     for i, f in enumerate(dataset.files):
         if hasattr(dataset, "full_xyz"):
             xyz = dataset.full_xyz(i)   # un-subsampled item coordinates
@@ -147,9 +153,15 @@ def dataset_level_widths(dataset: PseudoDataset, res: float, v0: int,
             with np.load(f) as data:
                 xyz = data["pts"].astype(np.float64)
             xyz = xyz - xyz.mean(axis=0)
-        q = sparse.quantize_points(xyz, res)
-        for lvl, c in enumerate(sparse.plan_level_counts(q, num_levels)):
-            max_counts[lvl] = max(max_counts[lvl], c)
+        draws = [xyz]
+        if sub_pts is not None and len(xyz) > sub_pts:
+            draws = [xyz[rng.choice(len(xyz), sub_pts, replace=False)]
+                     for _ in range(n_draws)]
+        for d in draws:
+            q = sparse.quantize_points(d, res)
+            for lvl, c in enumerate(
+                    sparse.plan_level_counts(q, num_levels)):
+                max_counts[lvl] = max(max_counts[lvl], c)
     padded = [int(c * (1.0 + margin)) + margin_abs for c in max_counts]
     return [sparse.level_budget(v0 >> lvl, c)
             for lvl, c in enumerate(padded)]

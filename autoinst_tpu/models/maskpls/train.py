@@ -94,7 +94,8 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
     # step instead of one per distinct chunk occupancy (XLA recompiles per
     # shape set; per-chunk widths also hit an axon-transport bug where
     # re-executing an older executable after a newer compile fails)
-    level_widths = dataset_level_widths(dataset, cfg.resolution, v0)
+    level_widths = dataset_level_widths(dataset, cfg.resolution, v0,
+                                        sub_pts=subsample)
     print(f"uniform level widths: {level_widths}")
     with open(os.path.join(ckpt_dir, "level_widths.json"), "w") as fh:
         json.dump(level_widths, fh)  # refiner/eval reuse -> one executable

@@ -205,6 +205,7 @@ def run(cfg: PipelineConfig | None = None, dataset_factory=None):
                     get_merge_pcds(out_folder_ncuts_cur[:-1]))
 
             labels_instances = None
+            map_instances = None
             if weights["gt"]:
                 map_instances = merge_unite_gt(
                     get_merge_pcds(out_folder_instances_cur[:-1]))
@@ -221,6 +222,17 @@ def run(cfg: PipelineConfig | None = None, dataset_factory=None):
                 min_points=cfg.metrics_min_points)
             _, labels_ncuts_all = np.unique(
                 np.asarray(merge_ncuts.colors), axis=0, return_inverse=True)
+            print(f"merged maps: ncuts {len(merge_ncuts.points)} pts / "
+                  f"{len(labels_ncuts_all)} labels, gt "
+                  f"{len(map_instances.points) if map_instances else 0} pts"
+                  f" / {0 if labels_instances is None else len(labels_instances)}"
+                  " labels")
+            if labels_instances is not None \
+                    and len(labels_ncuts_all) != len(labels_instances):
+                raise RuntimeError(
+                    "merged ncuts/gt maps misaligned: "
+                    f"{len(labels_ncuts_all)} vs {len(labels_instances)} "
+                    "points -- metrics require identical point order")
 
             write_pcd(data_store_folder, weights["name"], merge_ncuts,
                       seq, cur_idx)

@@ -221,36 +221,152 @@ def main():
     tpu_run(chunks[:group], use_pallas, method, iters)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
 
-    from autoinst_tpu.ncuts.solver import STATS
-    for k in STATS:
-        STATS[k] = 0
-    t0 = time.perf_counter()
-    labels = tpu_run(chunks, use_pallas, method, iters)
-    tpu_dt = time.perf_counter() - t0
-    log(f"solver stats: {STATS}")
-    tpu_rate = n_chunks / tpu_dt
-    n_instances = [len(np.unique(l)) for l in labels]
-    log(f"tpu: {tpu_dt:.2f}s for {n_chunks} chunks -> "
-        f"{tpu_rate:.3f} chunks/s; instances/chunk ~ "
-        f"{np.mean(n_instances):.1f}")
+    device_path = (backend == "tpu"
+                   and os.environ.get("BENCH_SOLVER", "device") == "device")
+    from autoinst_tpu.ncuts import device_solver
+    from autoinst_tpu.ncuts.solver import STATS as HOST_STATS
 
-    # baseline on a stratified sample of the same chunk mix
+    # median of N timed repetitions (single measurements over the tunnel
+    # vary by >5%; r1 recorded 7.70 vs 8.24 across runs)
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    rates, labels = [], None
+    for rep in range(reps):
+        for k in HOST_STATS:
+            HOST_STATS[k] = 0
+        t0 = time.perf_counter()
+        labels = tpu_run(chunks, use_pallas, method, iters)
+        dt = time.perf_counter() - t0
+        rates.append(n_chunks / dt)
+        if device_path:
+            log(f"rep {rep}: {dt:.2f}s ({rates[-1]:.2f} chunks/s); device "
+                f"solver stats: rounds={device_solver.STATS['rounds']} "
+                f"solves={device_solver.STATS['solves_per_tier']} "
+                f"overflow={device_solver.STATS['overflow']} "
+                f"host_fallbacks={device_solver.STATS['host_fallbacks']}")
+        else:
+            log(f"rep {rep}: {dt:.2f}s ({rates[-1]:.2f} chunks/s); host "
+                f"solver stats: {HOST_STATS}")
+    tpu_rate = float(np.median(rates))
+    n_instances = [len(np.unique(l)) for l in labels]
+    log(f"tpu: median of {reps} reps {tpu_rate:.3f} chunks/s "
+        f"(all: {[round(r, 2) for r in rates]}); instances/chunk ~ "
+        f"{np.mean(n_instances):.1f}")
+    if device_path and device_solver.STATS["overflow"]:
+        log("WARNING: device solver queue overflow -- results truncated")
+
+    # baseline on a stratified sample of the same chunk mix.
+    # CAVEAT: this baseline runs the reference's scipy/ARPACK algorithm on
+    # THIS 1-core host, not the reference's 128 GB AMD workstation
+    # (README.md:15); treat vs_baseline as same-algorithm-same-host, not
+    # same-hardware-as-paper.
     base_chunks = chunks[::max(len(chunks) // max(n_base, 1), 1)][:n_base]
     t0 = time.perf_counter()
     for p, f in base_chunks:
         baseline_chunk(p, f)
     cpu_dt = time.perf_counter() - t0
     cpu_rate = len(base_chunks) / cpu_dt
-    log(f"cpu baseline: {cpu_dt:.2f}s for {len(base_chunks)} chunks -> "
-        f"{cpu_rate:.3f} chunks/s")
+    log(f"cpu baseline (1-core host, reference algorithm): {cpu_dt:.2f}s "
+        f"for {len(base_chunks)} chunks -> {cpu_rate:.3f} chunks/s")
 
-    print(json.dumps({
+    # MaskPLS train-step secondary metric, measured in a crash-isolated
+    # subprocess (its big executable would otherwise trip the axon
+    # one-hot-executable transport bug against the solver's)
+    train_s = None
+    default_ts = "1" if backend == "tpu" else "0"
+    if os.environ.get("BENCH_TRAINSTEP", default_ts) == "1":
+        train_s = trainstep_subprocess()
+
+    out = {
         "metric": "ncuts_chunks_per_sec_per_chip",
         "value": round(tpu_rate, 4),
         "unit": "chunks/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
-    }))
+        "reps": [round(r, 3) for r in rates],
+        "baseline_note": "reference algorithm on this 1-core host",
+    }
+    if device_path:
+        out["solver_stats"] = {
+            "rounds": device_solver.STATS["rounds"],
+            "solves_per_tier": device_solver.STATS["solves_per_tier"],
+            "overflow": device_solver.STATS["overflow"]}
+    if train_s is not None:
+        out["maskpls_train_s_per_step_30k_bf16"] = round(train_s, 4)
+    print(json.dumps(out))
+
+
+def trainstep_subprocess(timeout: int = 2400):
+    """Median MaskPLS train-step seconds at 30k pts (bf16) via a child
+    process running this file with BENCH_TRAINSTEP_MODE=1."""
+    import subprocess
+    env = dict(os.environ)
+    env["BENCH_TRAINSTEP_MODE"] = "1"
+    env.pop("BENCH_PRECOMPILE", None)
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           timeout=timeout)
+    except subprocess.TimeoutExpired:
+        log("train-step subprocess timed out; omitting metric")
+        return None
+    if r.returncode != 0:
+        log(f"train-step subprocess failed rc={r.returncode}; "
+            f"tail: {r.stderr[-400:]}")
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)["s_per_step"]
+    return None
+
+
+def trainstep_mode():
+    """Child: time the full MaskPS train step on a synthetic 30k chunk."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/root/repo/.jax_cache"))
+    import jax.numpy as jnp
+    from autoinst_tpu.models.maskpls.model import (MaskPLSConfig,
+                                                   create_train_state,
+                                                   train_step)
+    from autoinst_tpu.models.maskpls.pseudo_dataset import collate
+
+    rng = np.random.default_rng(0)
+    n, n_inst = 30000, 24
+    pts, ins = [], []
+    for i in range(n_inst):
+        c = rng.uniform(-12, 12, 3) * np.array([1, 1, 0.15])
+        k = n // n_inst
+        pts.append(c + rng.normal(scale=1.0, size=(k, 3)))
+        ins.append(np.full(k, i, np.int32))
+    xyz = np.concatenate(pts)[:n]
+    ins = np.concatenate(ins)[:n]
+    item = {"xyz": xyz,
+            "feats": np.concatenate([xyz, np.ones((n, 1))], 1),
+            "masks": np.stack([ins == i for i in range(n_inst)]),
+            "classes": np.zeros(n_inst, np.int32), "ins_labels": ins}
+    cfg = MaskPLSConfig(compute_dtype="bfloat16", num_queries=40)
+    batch, targets = collate([item], cfg.resolution, 32768, 30720, 40)
+    batch = jax.tree.map(jnp.asarray, batch)
+    targets = jax.tree.map(jnp.asarray, targets)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, batch)
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    state, total, _ = train_step(state, batch, targets, key, cfg)
+    float(total)
+    log(f"train-step compile+first: {time.perf_counter() - t0:.1f}s")
+    times = []
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, total, _ = train_step(state, batch, targets, sub, cfg)
+        float(total)
+        times.append(time.perf_counter() - t0)
+    log(f"train-step times: {[round(t, 3) for t in times]}")
+    print(json.dumps({"s_per_step": float(np.median(times))}))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_TRAINSTEP_MODE") == "1":
+        trainstep_mode()
+    else:
+        main()

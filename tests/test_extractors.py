@@ -201,3 +201,36 @@ class TestDinoConverter:
         # new_h=378 (pad 4 each side)
         assert out[:4].sum() == 0 and out[-4:].sum() == 0
         assert out[:, :3].sum() == 0 and out[:, -3:].sum() == 0
+
+
+class TestPosEmbedResize:
+    def test_matches_torch_bicubic_with_dino_trick(self):
+        """ADVICE r1: pos-embed interpolation must equal the reference's
+        torch F.interpolate bicubic (A=-0.75, w0+0.1 scale trick,
+        align_corners=False) including the DINO h/w transposition quirk
+        at NON-square output grids."""
+        import torch
+        import torch.nn as tnn
+        import math
+        import jax.numpy as jnp
+        from autoinst_tpu.models.dino.vit import _torch_bicubic_pos_resize
+
+        rng = np.random.default_rng(0)
+        g, dim = 37, 8
+        h, w = 13, 27           # non-square, non-native
+        grid = rng.normal(size=(1, g, g, dim)).astype(np.float32)
+
+        ours = np.asarray(_torch_bicubic_pos_resize(jnp.asarray(grid), h, w))
+
+        # literal reference computation (extractor.py:88-97)
+        ppe = torch.as_tensor(grid).reshape(1, g, g, dim).permute(0, 3, 1, 2)
+        w0, h0 = w + 0.1, h + 0.1
+        out = tnn.functional.interpolate(
+            ppe, scale_factor=(w0 / g, h0 / g), mode="bicubic",
+            align_corners=False, recompute_scale_factor=False)
+        assert out.shape[-2] == w and out.shape[-1] == h
+        ref = out.permute(0, 2, 3, 1).reshape(1, -1, dim).numpy()
+
+        assert ours.shape == ref.shape
+        err = np.abs(ours - ref).max()
+        assert err < 5e-5, f"pos-embed resize mismatch {err}"
