@@ -69,8 +69,13 @@ class PointCloud:
         (Open3D RemoveDuplicatedPoints semantics)."""
         _, first = np.unique(self.points, axis=0, return_index=True)
         keep = np.sort(first)
+        # evaluate BEFORE reassigning points: once points shrink,
+        # has_colors() compares old colors against new points and colors
+        # would never be filtered (r2 bug: merged-map colors misaligned
+        # from points whenever chunks overlapped)
+        with_colors = self.has_colors()
         self.points = self.points[keep]
-        if self.has_colors():
+        if with_colors:
             self.colors = self.colors[keep]
         return self
 

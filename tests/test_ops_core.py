@@ -155,3 +155,34 @@ class TestNeighbors:
         idx, _ = neighbors.nn1_bruteforce(jnp.asarray(q), jnp.asarray(r),
                                           ref_valid=jnp.asarray(valid), block=8)
         assert np.asarray(idx).max() < 5
+
+
+def test_remove_duplicated_points_filters_colors():
+    """r2 regression: dedupe must filter colors alongside points (the old
+    order of operations left colors at the pre-dedupe length, silently
+    misaligning every merged map with overlapping chunks)."""
+    from autoinst_tpu.utils.pointcloud import PointCloud
+    pts = np.array([[0, 0, 0], [1, 1, 1], [0, 0, 0], [2, 2, 2]], float)
+    cols = np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], float)
+    pc = PointCloud(pts, cols).remove_duplicated_points()
+    assert len(pc.points) == 3
+    assert len(pc.colors) == 3
+    # first occurrence wins
+    assert np.array_equal(pc.colors,
+                          np.array([[1, 0, 0], [0, 1, 0], [1, 1, 0]]))
+
+
+def test_merge_unite_gt_alignment_with_overlap():
+    from autoinst_tpu.utils.pointcloud import PointCloud
+    from autoinst_tpu.pipeline.merging import (merge_unite_gt,
+                                               merge_chunks_unite_instances)
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 5, (200, 3))
+    b = np.concatenate([a[150:], rng.uniform(5, 9, (120, 3))])  # 50 dups
+    ca = np.tile([[1.0, 0, 0]], (len(a), 1))
+    cb = np.tile([[0, 1.0, 0]], (len(b), 1))
+    m = merge_unite_gt([PointCloud(a, ca), PointCloud(b, cb)])
+    assert len(m.points) == len(m.colors) == 320
+    m2 = merge_chunks_unite_instances([PointCloud(a, ca),
+                                       PointCloud(b, cb)])
+    assert len(m2.points) == len(m2.colors) == 320
