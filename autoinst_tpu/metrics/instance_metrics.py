@@ -169,10 +169,15 @@ class InstanceMetrics:
                                        record=self._tp_ious)
             if 0 in gsz:
                 self._all_gt_size += len(gsz) - 1
-            self._all_pred_size += len(psz) - 1
+            self._all_pred_size += len(psz) - (1 if 0 in psz else 0)
             self._all_tp += tp
-            prec = self._all_tp / self._all_pred_size
-            rec = self._all_tp / self._all_gt_size
+            # degenerate maps (zero surviving predictions/GT) score 0
+            # rather than raising (the reference would crash here too,
+            # metrics_class.py:157-159; robustness per SURVEY §5.3)
+            prec = (self._all_tp / self._all_pred_size
+                    if self._all_pred_size else 0.0)
+            rec = (self._all_tp / self._all_gt_size
+                   if self._all_gt_size else 0.0)
             try:
                 f1 = 2 * (prec * rec) / (prec + rec)
             except ZeroDivisionError:

@@ -66,21 +66,22 @@ class PseudoDataset:
                 "classes": classes, "ins_labels": ins_labels,
                 "fname": self.files[index]}
 
-    def _augment(self, xyz):
+    def _augment(self, xyz, rng=None):
         # reference pseudo_dataset.py:319-352: rot around z, flip, scale,
         # jitter
-        rot = np.deg2rad(self.rng.random() * 360)
+        rng = rng if rng is not None else self.rng
+        rot = np.deg2rad(rng.random() * 360)
         c, s = np.cos(rot), np.sin(rot)
         xyz[:, :2] = xyz[:, :2] @ np.array([[c, s], [-s, c]])
-        flip = self.rng.integers(0, 4)
+        flip = rng.integers(0, 4)
         if flip == 1:
             xyz[:, 0] = -xyz[:, 0]
         elif flip == 2:
             xyz[:, 1] = -xyz[:, 1]
         elif flip == 3:
             xyz[:, :2] = -xyz[:, :2]
-        xyz *= self.rng.uniform(0.95, 1.05)
-        xyz += self.rng.normal(scale=0.01, size=xyz.shape)
+        xyz *= rng.uniform(0.95, 1.05)
+        xyz += rng.normal(scale=0.01, size=xyz.shape)
         return xyz
 
 
@@ -157,6 +158,11 @@ def dataset_level_widths(dataset: PseudoDataset, res: float, v0: int,
         if sub_pts is not None and len(xyz) > sub_pts:
             draws = [xyz[rng.choice(len(xyz), sub_pts, replace=False)]
                      for _ in range(n_draws)]
+        if getattr(dataset, "aug", False):
+            # rotation/scale change occupancy; measure actual augmented
+            # draws instead of trusting the margin alone
+            draws = draws + [dataset._augment(d.copy(), rng=rng)
+                             for d in draws]
         for d in draws:
             q = sparse.quantize_points(d, res)
             for lvl, c in enumerate(

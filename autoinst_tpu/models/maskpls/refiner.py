@@ -26,12 +26,21 @@ from autoinst_tpu.utils.pointcloud import PointCloud
 class RefinerModel:
     def __init__(self, dataset: str = "kitti", weights_path: str = "",
                  cfg: MaskPLSConfig = MaskPLSConfig(), v0: int = 65536,
-                 n_points: int = 61440, level_widths: list | None = None):
+                 n_points: int = 61440, level_widths: list | None = None,
+                 bn_mode: str = "train"):
         """level_widths: optional fixed per-level voxel widths so every
         chunk shares one compiled forward executable (otherwise widths are
         data-dependent and each new occupancy pattern recompiles; on the
         axon transport, re-executing an older executable after a newer
-        compile also crashes the worker -- see NOTES_ROUND1.md)."""
+        compile also crashes the worker -- see NOTES_ROUND1.md).
+
+        bn_mode: "train" (default) runs the backbone's BatchNorms on the
+        current chunk's statistics, matching the reference RefinerModel
+        which deliberately leaves the backbone in .train() at inference
+        (predict_maskpls.py:51); checkpoints trained at batch size 1 rely
+        on per-chunk normalization, so "eval" (running averages) degrades
+        them badly. No other layer is train-gated (the decoder has no
+        dropout), so this toggles exactly the BN statistics source."""
         is_torch = weights_path.endswith((".ckpt", ".pt", ".pth"))
         if is_torch:
             # reference checkpoints were trained with exact KeOps kNN-up;
@@ -50,8 +59,15 @@ class RefinerModel:
         if weights_path and os.path.exists(weights_path):
             self.variables = (self._load_torch(weights_path) if is_torch
                               else self._load_weights(weights_path))
-        self._apply = jax.jit(
-            lambda v, b: self.model.apply(v, b, train=False))
+        if bn_mode == "train":
+            def fwd(v, b):
+                out, _ = self.model.apply(v, b, train=True,
+                                          mutable=["batch_stats"])
+                return out
+            self._apply = jax.jit(fwd)
+        else:
+            self._apply = jax.jit(
+                lambda v, b: self.model.apply(v, b, train=False))
 
     def _load_weights(self, path: str):
         from flax import serialization
@@ -95,11 +111,15 @@ class RefinerModel:
                      for lv in v]) for k, v in batch.items()}, len(xyz)
 
     def _downsample(self, points: np.ndarray, target: int = 60000):
-        every_k = max(int(points.shape[0] / target), 1)
+        # ceil stride (reference predict_maskpls.py:78 floors, but its torch
+        # batch is dynamic; our batch is static at n_points, so the result
+        # must actually fit or points would be silently truncated)
+        every_k = max(-(-points.shape[0] // target), 1)
         return points[np.arange(0, len(points), every_k)]
 
     def forward_point_cloud(self, pcd_full: PointCloud):
-        minor = self._downsample(np.asarray(pcd_full.points))
+        target = min(60000, self.n_points)
+        minor = self._downsample(np.asarray(pcd_full.points), target)
         xyz = minor - minor.mean(axis=0)
         if self.variables is None:
             raise RuntimeError("RefinerModel has no weights loaded")

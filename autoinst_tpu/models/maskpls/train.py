@@ -65,7 +65,8 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
           v0: int = 65536, n_points: int = 81920, t_max: int = 40,
           ckpt_every: int = 1, seed: int = 0, subsample: int = 80000,
           min_points: int = 100, limit_steps: int | None = None,
-          dataset_kind: str = "pseudo", cache_batches: int = 0):
+          dataset_kind: str = "pseudo", cache_batches: int = 0,
+          aug: bool = True):
     """dataset_kind: 'pseudo' = NCuts pseudo-label chunks (class-agnostic
     self-training), 'semantic' = GT SemanticKITTI scans (supervised; items
     carry sem_labels so cfg.sem_loss can supervise the backbone head).
@@ -82,8 +83,11 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
             data_path, split="train", min_points=min_points,
             sub_pts=subsample, subsample=True, seed=seed)
     else:
+        # aug on by default (reference pseudo_dataset cfg AUG); with
+        # cache_batches > 0 each cached draw bakes its own rotation/flip,
+        # so pick enough draws to cover the symmetry group
         dataset = PseudoDataset(data_path, min_points=min_points,
-                                sub_pts=subsample, subsample=True, aug=False,
+                                sub_pts=subsample, subsample=True, aug=aug,
                                 seed=seed)
     if len(dataset) == 0:
         raise ValueError(f"no training chunks under {data_path}")

@@ -110,9 +110,12 @@ def phase_train(work, epochs, dtype):
     last = os.path.join(ckpt, "maskpls_last.ckpt")
     if os.path.exists(last):
         resume = last
+    # aug on + 12 cached draw/aug variants per chunk: the first (no-aug,
+    # 2-draw) run memorized its 24 fixed batches -- train loss 15.8 but
+    # ~50 on any fresh draw and mask dice ~0.8 at inference
     train(data, epochs=epochs, ckpt_dir=ckpt, resume=resume,
           v0=32768, n_points=30720, t_max=40, ckpt_every=25,
-          min_points=100, subsample=30000, cache_batches=2,
+          min_points=100, subsample=30000, cache_batches=12, aug=True,
           cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40))
 
 
