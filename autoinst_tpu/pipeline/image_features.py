@@ -52,6 +52,27 @@ def hidden_point_removal(points: np.ndarray, camera, radius_factor=100.0):
     return visible[visible < len(points)]
 
 
+def reduce_feature_map(feature_map: np.ndarray, n_out: int) -> np.ndarray:
+    """Per-image reduction of an (H, W, C) feature map to n_out channels.
+
+    The reference's NUM_DINO_FEATURES < 384 path fits a fresh per-image
+    UMAP (image_utils.py:236-250, non-default; the shipped config uses
+    384 = no reduction). UMAP is a stochastic CPU C-extension with no
+    sensible TPU mapping, so this deviates: a per-image PCA projection
+    (top n_out principal components of the (H*W, C) token cloud), which
+    is deterministic, jit-friendly, and preserves the knob's purpose of
+    shrinking the DINO distance computation. Documented in docs/PARITY.md.
+    """
+    import jax.numpy as jnp
+    h, w, c = feature_map.shape
+    flat = jnp.asarray(feature_map.reshape(h * w, c), jnp.float32)
+    centered = flat - flat.mean(axis=0)
+    # right singular vectors of the token cloud = principal axes
+    _, _, vt = jnp.linalg.svd(centered, full_matrices=False)
+    out = centered @ vt[:n_out].T
+    return np.asarray(out).reshape(h, w, n_out)
+
+
 def masks_to_image(masks) -> np.ndarray:
     """SAM mask dicts -> pixel-wise instance-id map, 1-based
     (reference image_utils.py:42-50)."""
@@ -137,9 +158,13 @@ def image_based_features_per_patch(dataset, pcd_minor: PointCloud,
                     dataset.get_sam_mask(cam, points_index))
             if dino:
                 dino_map = dataset.get_dinov2_features(cam, points_index)
-                if dino_map.shape[2] != cfg.num_dino_features:
-                    raise ValueError("UMAP feature reduction not supported; "
-                                     "use num_dino_features=384")
+                if dino_map.shape[2] > cfg.num_dino_features:
+                    dino_map = reduce_feature_map(dino_map,
+                                                  cfg.num_dino_features)
+                elif dino_map.shape[2] != cfg.num_dino_features:
+                    raise ValueError("num_dino_features must be <= the "
+                                     "cached map depth (reference "
+                                     "image_utils.py:256)")
                 df0 = dino_map.shape[0] / h
                 df1 = dino_map.shape[1] / w
 

@@ -83,3 +83,23 @@ class TestIntegration:
         assert dino_list[0].any()
         means = imf.dinov2_mean(dino_list[0])
         assert means.shape == (len(chunk_nc), 384)
+
+
+def test_reduce_feature_map_pca():
+    """num_dino_features < map depth: deterministic PCA reduction
+    (reference's non-default UMAP knob, image_utils.py:236-250)."""
+    rng = np.random.default_rng(0)
+    # tokens concentrated along 3 directions in 20-d
+    basis = rng.normal(size=(3, 20))
+    codes = rng.normal(size=(48, 3)) * np.array([5.0, 2.0, 0.5])
+    fm = (codes @ basis).reshape(8, 6, 20).astype(np.float32)
+    red = imf.reduce_feature_map(fm, 4)
+    assert red.shape == (8, 6, 4)
+    # deterministic
+    np.testing.assert_array_equal(red, imf.reduce_feature_map(fm, 4))
+    # components are variance-ordered and capture nearly everything
+    var = red.reshape(-1, 4).var(axis=0)
+    assert var[0] >= var[1] >= var[2]
+    total = fm.reshape(-1, 20)
+    total = total - total.mean(0)
+    assert var[:3].sum() / total.var(axis=0).sum() > 0.99
