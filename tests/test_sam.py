@@ -164,3 +164,28 @@ def test_amg_through_mask_adapter(models, tmp_path):
     masks = data["masks"]
     assert len(masks) >= 1
     assert masks[0]["segmentation"].shape == (48, 64)
+
+
+def test_run_cli_writes_caches(tmp_path, monkeypatch):
+    """Reference 2D-VFMs/SAM/run.py surface: folder in, npz caches out,
+    existing outputs skipped."""
+    import sys
+    from PIL import Image
+    from autoinst_tpu.models.segmentation2d.sam import run as sam_run
+    img_dir = tmp_path / "img"
+    out_dir = tmp_path / "out"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (32, 48, 3),
+                                     dtype=np.uint8)).save(
+            img_dir / f"{i:06d}.png")
+    monkeypatch.setattr(sam_run, "ARCHS", {"vit_h": lambda: CFG})
+    monkeypatch.setattr(
+        sys, "argv",
+        ["run", "-i", str(img_dir), "-o", str(out_dir), "-f", "png"])
+    sam_run.main()
+    files = sorted(p.name for p in out_dir.iterdir())
+    assert files == ["000000.npz", "000001.npz"]
+    data = np.load(out_dir / "000000.npz", allow_pickle=True)
+    assert isinstance(data["masks"].tolist(), list)
