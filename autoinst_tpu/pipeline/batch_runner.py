@@ -65,21 +65,35 @@ def ncuts_chunks_batched(dataset, chunk_downsample_dict, pcd_nonground_minor,
     # phase 2: one (grouped) device dispatch for all chunk graphs
     labels_all = [None] * n_chunks
     order = sorted(range(n_chunks), key=lambda i: As[i].shape[0])
+    on_device = (jax.default_backend() == "tpu" and getattr(
+        cfg, "ncut_backend", "auto") in ("auto", "device"))
     for lo in range(0, n_chunks, group):
         idxs = order[lo:lo + group]
         width = max(As[i].shape[0] for i in idxs)
-        stack = np.zeros((len(idxs), width, width), np.float32)
+        if on_device:
+            # uniform width across groups: ONE compiled solver executable
+            # per map run. The axon TPU transport cannot reliably re-execute
+            # a large executable once a later one has been compiled in the
+            # same process (CLAUDE.md), and remote-compiled programs are not
+            # covered by the persistent cache -- per-group widths would
+            # compile a fresh multi-minute executable per group.
+            width = max_pad
+        n_rows = group if (on_device and n_chunks > group) else len(idxs)
+        stack = np.zeros((n_rows, width, width), np.float32)
         for j, i in enumerate(idxs):
             a = np.asarray(As[i])
             stack[j, :a.shape[0], :a.shape[1]] = a
-        if jax.default_backend() == "tpu" and getattr(
-                cfg, "ncut_backend", "auto") in ("auto", "device"):
+        row_nums = [nums[i] for i in idxs]
+        # pad the last partial group with trivial 1-node graphs (same batch
+        # signature -> same executable as the full groups)
+        row_nums += [1] * (n_rows - len(idxs))
+        if on_device:
             labs = recursive_ncut_device(
-                jnp.asarray(stack), [nums[i] for i in idxs],
+                jnp.asarray(stack), row_nums,
                 T=weights["T"], split_lim=cfg.split_lim)
         else:
             labs = recursive_ncut_batch(
-                jnp.asarray(stack), [nums[i] for i in idxs],
+                jnp.asarray(stack), row_nums,
                 T=weights["T"], split_lim=cfg.split_lim,
                 method=cfg.ncut_method)
         for j, i in enumerate(idxs):

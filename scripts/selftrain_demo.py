@@ -72,16 +72,40 @@ def _base_cfg(work, out_name, **kw):
     return cfg, _factory(root)
 
 
-def phase_export(work):
+def phase_export(work, overlap=18, device=False, out_name="out_export"):
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if device:
+        # real TPU: batched single-executable solver path (bench-proven
+        # 16x4096 dispatch); see batch_runner uniform-width note
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              os.path.join(REPO, ".jax_cache"))
+    else:
+        jax.config.update("jax_platforms", "cpu")
     from autoinst_tpu.pipeline.run_pipeline import run
-    cfg, factory = _base_cfg(work, "out_export", gen_self_train_data=True)
-    cfg.overlap = 18  # chunk every 7 m (the forced 24 would be ~1/m)
+    cfg, factory = _base_cfg(work, out_name, gen_self_train_data=True)
+    # reference parity at overlap=24: a training chunk every 1 m
+    # (config.py:75-77); 18 = every 7 m (the fast CPU variant)
+    cfg.overlap = overlap
+    if device:
+        cfg.batched_chunks = True
+        cfg.ncut_backend = "device"
+        cfg.ncut_method = "auto"
+        cfg.use_pallas = True
     run(cfg, dataset_factory=factory)
     train_dir = os.path.join(cfg.out_folder_train, "0")
     n = len([f for f in os.listdir(train_dir) if f.endswith(".npz")])
     log(f"exported {n} training chunks to {train_dir}")
+
+
+def _args_extra(ap):
+    ap.add_argument("--overlap", type=int, default=18)
+    ap.add_argument("--device", action="store_true",
+                    help="run the export NCuts on the real TPU (batched "
+                         "single-executable solver)")
+    ap.add_argument("--out", default="out_export",
+                    help="export output folder name under --work")
+    ap.add_argument("--data", default="",
+                    help="train/eval: training-chunk dir override")
 
 
 def phase_baseline(work):
@@ -98,14 +122,15 @@ def phase_baseline(work):
     log("NCuts baseline:", stats)
 
 
-def phase_train(work, epochs, dtype):
+def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
+                ckpt_name="ckpts"):
     # real TPU: do NOT force cpu; train CLI handles caching via env
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(REPO, ".jax_cache"))
     from autoinst_tpu.models.maskpls.model import MaskPLSConfig
     from autoinst_tpu.models.maskpls.train import train
-    data = os.path.join(work, "out_export", "train")
-    ckpt = os.path.join(work, "ckpts")
+    data = data or os.path.join(work, "out_export", "train")
+    ckpt = os.path.join(work, ckpt_name)
     resume = ""
     last = os.path.join(ckpt, "maskpls_last.ckpt")
     if os.path.exists(last):
@@ -115,18 +140,18 @@ def phase_train(work, epochs, dtype):
     # ~50 on any fresh draw and mask dice ~0.8 at inference
     train(data, epochs=epochs, ckpt_dir=ckpt, resume=resume,
           v0=32768, n_points=30720, t_max=40, ckpt_every=25,
-          min_points=100, subsample=30000, cache_batches=12, aug=True,
-          cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40))
+          min_points=100, subsample=30000, cache_batches=cache_batches,
+          aug=aug, cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40))
 
 
-def phase_eval(work):
+def phase_eval(work, ckpt_name="ckpts"):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from autoinst_tpu.models.maskpls.model import MaskPLSConfig
     from autoinst_tpu.pipeline.config import config_maskpls_tarl_spatial
     from autoinst_tpu.pipeline.run_pipeline import run
-    weights = os.path.join(work, "ckpts", "maskpls_weights.msgpack")
-    widths_file = os.path.join(work, "ckpts", "level_widths.json")
+    weights = os.path.join(work, ckpt_name, "maskpls_weights.msgpack")
+    widths_file = os.path.join(work, ckpt_name, "level_widths.json")
     kwargs = {"cfg": MaskPLSConfig(num_queries=40), "v0": 32768,
               "n_points": 30720}
     if os.path.exists(widths_file):
@@ -159,18 +184,25 @@ def main():
     ap.add_argument("--work", default=os.path.join(REPO, ".selftrain"))
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--cache-batches", type=int, default=12)
+    ap.add_argument("--no-aug", action="store_true")
+    ap.add_argument("--ckpt-name", default="ckpts")
+    _args_extra(ap)
     args = ap.parse_args()
     os.makedirs(args.work, exist_ok=True)
     if args.phase == "gen":
         phase_gen(args.work)
     elif args.phase == "export":
-        phase_export(args.work)
+        phase_export(args.work, overlap=args.overlap, device=args.device,
+                     out_name=args.out)
     elif args.phase == "baseline":
         phase_baseline(args.work)
     elif args.phase == "train":
-        phase_train(args.work, args.epochs, args.dtype)
+        phase_train(args.work, args.epochs, args.dtype, data=args.data,
+                    cache_batches=args.cache_batches, aug=not args.no_aug,
+                    ckpt_name=args.ckpt_name)
     elif args.phase == "eval":
-        phase_eval(args.work)
+        phase_eval(args.work, ckpt_name=args.ckpt_name)
 
 
 if __name__ == "__main__":
