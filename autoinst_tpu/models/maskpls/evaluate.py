@@ -36,6 +36,11 @@ def evaluate(data_path: str, ckpt: str, cfg: MaskPLSConfig = MaskPLSConfig(),
              results_dir: str | None = None, limit: int | None = None):
     dataset = PseudoDataset(data_path, min_points=100, subsample=False,
                             split="val")
+    # accuracy comparisons against the reference must not be confounded by
+    # the grid kNN-up approximation (docs/PARITY.md "kNN-up")
+    print(f"knn_mode={cfg.knn_mode}"
+          + (" (approximate; use exact for reference parity)"
+             if cfg.knn_mode == "grid" else ""))
     model = MaskPS(cfg)
     # uniform static shapes across the run: one compiled forward
     # (XLA recompiles per shape set; see train.py / CLAUDE.md axon note)

@@ -67,6 +67,14 @@ class MaskPLSConfig:
     w_center: float = 1.0
     drop_loss: bool = False      # drop low-IoU matched masks (loss.py:247+)
     drop_loss_thresh: float = 0.15
+    # no-object CE class weight. The reference CONFIG carries EOS_COEF 0.1
+    # (model.yaml LOSS.EOS_COEF, the DETR/MaskPLS standard) but its shipped
+    # code comments the weight line out (loss.py:47), so 1.0 is literal
+    # shipped parity. With few training chunks the uniform weight lets
+    # Hungarian-assignment churn collapse the classifier to all-no-object
+    # (observed: mask IoUs improving while kept queries -> 0); 0.1 is the
+    # documented fix and matches the reference's own config intent.
+    eos_coef: float = 1.0
 
 
 class MaskPS(nn.Module):
@@ -261,6 +269,9 @@ def level_losses(outputs, targets, assign, pool, cfg: MaskPLSConfig,
         lambda tc, qi, up: tc.at[qi].set(up))(target_classes, qidx, updates)
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, target_classes[..., None], axis=-1)
+    # per-element class weight (torch F.cross_entropy(weight=) semantics:
+    # weighted mean); no-object entries get cfg.eos_coef
+    eos_w = jnp.where(target_classes == num_classes, cfg.eos_coef, 1.0)
 
     # ---- mask + dice on the shared pool (loss.py:159-213)
     num_masks = jnp.maximum(jnp.sum(tgt_valid), 1.0)
@@ -296,12 +307,14 @@ def level_losses(outputs, targets, assign, pool, cfg: MaskPLSConfig,
         ce_w = jnp.ones((b, q))
         ce_w = jax.vmap(lambda w, qi, kp: w.at[qi].set(kp))(
             ce_w, qidx, keep)
+        ce_w = ce_w * eos_w
         loss_ce = jnp.sum(ce[..., 0] * ce_w) / jnp.maximum(
             jnp.sum(ce_w), 1.0)
     else:
         loss_mask = jnp.sum(lm * tgt_valid) / num_masks
         loss_dice = jnp.sum(ld * tgt_valid) / num_masks
-        loss_ce = jnp.mean(ce)
+        loss_ce = jnp.sum(ce[..., 0] * eos_w) / jnp.maximum(
+            jnp.sum(eos_w), 1e-8)
 
     out = {"loss_ce": loss_ce * cfg.w_ce,
            "loss_mask": loss_mask * cfg.w_mask,

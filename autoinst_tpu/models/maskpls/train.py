@@ -200,6 +200,9 @@ def main():
     ap.add_argument("--sem-loss", action="store_true",
                     help="add SemLoss (CE+Lovasz) on the backbone "
                          "semantic head (reference loss.py:366-476)")
+    ap.add_argument("--eos-coef", type=float, default=1.0,
+                    help="no-object CE weight (reference model.yaml "
+                         "EOS_COEF 0.1; 1.0 = shipped-code parity)")
     args = ap.parse_args()
     train(args.data, epochs=args.epochs, ckpt_dir=args.ckpt_dir,
           resume=args.resume, n_points=args.n_points, v0=args.v0,
@@ -207,7 +210,8 @@ def main():
           cfg=MaskPLSConfig(compute_dtype=args.dtype,
                             num_queries=args.queries,
                             num_classes=args.num_classes,
-                            sem_loss=args.sem_loss))
+                            sem_loss=args.sem_loss,
+                            eos_coef=args.eos_coef))
 
 
 if __name__ == "__main__":

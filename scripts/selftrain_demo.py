@@ -123,7 +123,7 @@ def phase_baseline(work):
 
 
 def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
-                ckpt_name="ckpts"):
+                ckpt_name="ckpts", eos_coef=1.0):
     # real TPU: do NOT force cpu; train CLI handles caching via env
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(REPO, ".jax_cache"))
@@ -141,7 +141,8 @@ def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
     train(data, epochs=epochs, ckpt_dir=ckpt, resume=resume,
           v0=32768, n_points=30720, t_max=40, ckpt_every=25,
           min_points=100, subsample=30000, cache_batches=cache_batches,
-          aug=aug, cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40))
+          aug=aug, cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40,
+                                     eos_coef=eos_coef))
 
 
 def phase_eval(work, ckpt_name="ckpts"):
@@ -186,6 +187,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--cache-batches", type=int, default=12)
     ap.add_argument("--no-aug", action="store_true")
+    ap.add_argument("--eos-coef", type=float, default=1.0)
     ap.add_argument("--ckpt-name", default="ckpts")
     _args_extra(ap)
     args = ap.parse_args()
@@ -200,7 +202,7 @@ def main():
     elif args.phase == "train":
         phase_train(args.work, args.epochs, args.dtype, data=args.data,
                     cache_batches=args.cache_batches, aug=not args.no_aug,
-                    ckpt_name=args.ckpt_name)
+                    ckpt_name=args.ckpt_name, eos_coef=args.eos_coef)
     elif args.phase == "eval":
         phase_eval(args.work, ckpt_name=args.ckpt_name)
 
