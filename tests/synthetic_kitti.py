@@ -109,7 +109,8 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
                       ground_points=2400, seed=0, n_objects=4,
                       with_moving=True, tarl=True, cams=False,
                       varied_objects=False, adjacent_pairs=0, n_clutter=0,
-                      ring_ground=False, density_falloff=False):
+                      ring_ground=False, density_falloff=False,
+                      object_span=None):
     """Write sequence 00 under `root`. Returns (poses_velo, objects).
 
     Realism knobs (all default-off, keeping the original easy scenes):
@@ -130,10 +131,15 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
     if tarl:
         os.makedirs(tarl_dir, exist_ok=True)
 
-    objects = make_scene_objects(rng, n_objects=n_objects,
+    # object_span: x-extent of object placement. Default (None) keeps the
+    # historical 30 m cluster near the origin; pass ~n_scans*step to spread
+    # objects along the whole trajectory (otherwise every chunk past the
+    # first is pure ground and map metrics hinge on one chunk).
+    span = 30.0 if object_span is None else float(object_span)
+    objects = make_scene_objects(rng, n_objects=n_objects, span=span,
                                  varied=varied_objects,
                                  adjacent_pairs=adjacent_pairs)
-    clutter = make_clutter(rng, n_clutter) if n_clutter else []
+    clutter = make_clutter(rng, n_clutter, span=span) if n_clutter else []
 
     # KITTI-style velodyne->camera axis permutation (cam z = velo x,
     # cam x = -velo y, cam y = -velo z) + a small mount offset; intrinsics
