@@ -44,11 +44,15 @@ def phase_gen(work):
     if os.path.exists(os.path.join(root, "poses", "00.txt")):
         log("map already generated")
         return
+    # object_span spreads objects along the WHOLE trajectory: without it
+    # (round-2 map) objects sat in x in [6,36] of a 120 m drive, 3 of 4
+    # eval chunks were pure ground, and all object metrics hinged on one
+    # chunk (NOTES_ROUND2.md "the demo MAP is degenerate").
     generate_sequence(
         root, n_scans=N_SCANS, step=STEP, points_per_object=700,
         ground_points=9000, n_objects=16, seed=SEED, varied_objects=True,
         adjacent_pairs=4, n_clutter=30, ring_ground=True,
-        density_falloff=True)
+        density_falloff=True, object_span=N_SCANS * STEP)
     log("map written to", root)
 
 
