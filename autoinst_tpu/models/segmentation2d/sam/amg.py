@@ -144,12 +144,14 @@ def _box_nms(boxes: np.ndarray, scores: np.ndarray,
         yy0 = np.maximum(boxes[i, 1], boxes[rest, 1])
         xx1 = np.minimum(boxes[i, 2], boxes[rest, 2])
         yy1 = np.minimum(boxes[i, 3], boxes[rest, 3])
-        inter = np.maximum(xx1 - xx0 + 1, 0) * np.maximum(yy1 - yy0 + 1, 0)
-        area_i = ((boxes[i, 2] - boxes[i, 0] + 1)
-                  * (boxes[i, 3] - boxes[i, 1] + 1))
-        area_r = ((boxes[rest, 2] - boxes[rest, 0] + 1)
-                  * (boxes[rest, 3] - boxes[rest, 1] + 1))
-        iou = inter / np.maximum(area_i + area_r - inter, 1)
+        # torchvision IoU convention (no inclusive +1 terms) so borderline
+        # candidates at the 0.7 threshold match the reference's batched_nms
+        inter = np.maximum(xx1 - xx0, 0) * np.maximum(yy1 - yy0, 0)
+        area_i = ((boxes[i, 2] - boxes[i, 0])
+                  * (boxes[i, 3] - boxes[i, 1]))
+        area_r = ((boxes[rest, 2] - boxes[rest, 0])
+                  * (boxes[rest, 3] - boxes[rest, 1]))
+        iou = inter / np.maximum(area_i + area_r - inter, 1e-9)
         order = rest[iou <= thresh]
     return np.asarray(keep, np.int64)
 

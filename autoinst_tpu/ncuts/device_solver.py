@@ -36,6 +36,12 @@ _TIERS = ((256, 8, 8192), (1024, 8, 2048), (4096, 4, 512),
 _SEED_CAP = 512
 
 
+def device_tier_cap() -> int:
+    """Largest chunk width the device worklist solves without falling back
+    to the host path (the top tier's padded width)."""
+    return _TIERS[-1][0]
+
+
 @jax.jit
 def connected_components(W: jax.Array, valid: jax.Array) -> jax.Array:
     """Per-graph connected components of a batch of dense affinities.

@@ -80,9 +80,11 @@ def host_chunk_slice(n_chunks: int) -> np.ndarray:
 def allreduce_host_sums(values: np.ndarray) -> np.ndarray:
     """Sum a small f32 array across hosts over DCN.
 
-    Implemented as a jitted psum over the global mesh's data axis with the
-    per-host contribution placed on one local device each -- the standard
-    cross-host scalar reduction (metric accumulators, chunk counters)."""
+    Implemented as a process_allgather followed by a host-side sum (NOT a
+    device psum): the payloads are tiny host-resident accumulators (metric
+    sums, chunk counters) and the gather already rides the DCN transport;
+    staging them onto devices for a collective would add transfers without
+    saving anything."""
     from jax.experimental import multihost_utils
     values = np.asarray(values, np.float32)
     return np.asarray(

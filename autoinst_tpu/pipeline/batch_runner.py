@@ -20,7 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
+from autoinst_tpu.ncuts.device_solver import (device_tier_cap,
+                                              recursive_ncut_device)
 from autoinst_tpu.ncuts.solver import recursive_ncut_batch
 from autoinst_tpu.pipeline.chunking import (get_indices_feature_reprojection,
                                             statistical_inlier_indices,
@@ -64,10 +65,27 @@ def ncuts_chunks_batched(dataset, chunk_downsample_dict, pcd_nonground_minor,
 
     # phase 2: one (grouped) device dispatch for all chunk graphs
     labels_all = [None] * n_chunks
-    order = sorted(range(n_chunks), key=lambda i: As[i].shape[0])
     on_device = (jax.default_backend() == "tpu" and getattr(
         cfg, "ncut_backend", "auto") in ("auto", "device"))
-    for lo in range(0, n_chunks, group):
+    # Chunks wider than the largest device-solver tier would force
+    # recursive_ncut_device's host fallback; with uniform padding that
+    # would silently drop EVERY group to the CPU solver. Solve outsized
+    # chunks individually on the host and keep the device batch tight.
+    tier_cap = device_tier_cap()
+    oversized = [i for i in range(n_chunks)
+                 if on_device and As[i].shape[0] > tier_cap]
+    for i in oversized:
+        print(f"[batch_runner] chunk {i} has {As[i].shape[0]} nodes "
+              f"(> device tier cap {tier_cap}); host-solver fallback",
+              flush=True)
+        labels_all[i] = recursive_ncut_batch(
+            jnp.asarray(As[i])[None], [nums[i]],
+            T=weights["T"], split_lim=cfg.split_lim,
+            method=cfg.ncut_method)[0]
+    remaining = [i for i in range(n_chunks) if i not in set(oversized)]
+    max_pad = max((As[i].shape[0] for i in remaining), default=0)
+    order = sorted(remaining, key=lambda i: As[i].shape[0])
+    for lo in range(0, len(order), group):
         idxs = order[lo:lo + group]
         width = max(As[i].shape[0] for i in idxs)
         if on_device:
@@ -78,7 +96,7 @@ def ncuts_chunks_batched(dataset, chunk_downsample_dict, pcd_nonground_minor,
             # covered by the persistent cache -- per-group widths would
             # compile a fresh multi-minute executable per group.
             width = max_pad
-        n_rows = group if (on_device and n_chunks > group) else len(idxs)
+        n_rows = group if (on_device and len(order) > group) else len(idxs)
         stack = np.zeros((n_rows, width, width), np.float32)
         for j, i in enumerate(idxs):
             a = np.asarray(As[i])

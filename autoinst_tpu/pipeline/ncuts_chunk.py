@@ -109,7 +109,18 @@ def ncuts_chunk(dataset, chunk_downsample_dict, pcd_nonground_minor,
             tarl_indices_global, cfg.chunk_size,
             search_radius=cfg.major_voxel_size / 2.0, norm=cfg.tarl_norm)
 
-    if weights.get("gamma") or weights.get("beta"):
+    backend = getattr(cfg, "ncut_backend", "auto")
+    if backend == "reference":
+        # parity twin: the upstream scipy/ARPACK chain end-to-end on the
+        # same inputs (reference_twin.py); spatial/TARL configs only
+        if weights.get("gamma") or weights.get("beta"):
+            raise NotImplementedError(
+                "reference twin covers the spatial/TARL configs")
+        from autoinst_tpu.ncuts.reference_twin import reference_chunk_labels
+        labels = reference_chunk_labels(
+            points_major, tarl_features, weights["alpha"], weights["theta"],
+            cfg.proximity_threshold, weights["T"], cfg.split_lim)
+    elif weights.get("gamma") or weights.get("beta"):
         from autoinst_tpu.ops.affinity import sam_label_distance
         from autoinst_tpu.pipeline.image_features import \
             image_affinity_terms
@@ -152,9 +163,10 @@ def ncuts_chunk(dataset, chunk_downsample_dict, pcd_nonground_minor,
     else:
         A, _ = chunk_affinity(points_major, cfg, tarl_features)
 
-    backend = getattr(cfg, "ncut_backend", "auto")
-    if backend == "device" or (backend == "auto"
-                               and jax.default_backend() == "tpu"):
+    if backend == "reference":
+        pass  # labels already computed by the twin above
+    elif backend == "device" or (backend == "auto"
+                                 and jax.default_backend() == "tpu"):
         from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
         labels = recursive_ncut_device(A[None], [num_points_major],
                                        T=weights["T"],

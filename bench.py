@@ -113,6 +113,9 @@ def baseline_chunk(points: np.ndarray, feats: np.ndarray):
 
 # -------------------------------------------------------------- tpu path
 
+STAGE_T = {"transfer_s": 0.0, "affinity_s": 0.0, "solver_s": 0.0}
+
+
 def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
     import jax
     import jax.numpy as jnp
@@ -135,11 +138,18 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
     # trips (which dominate and vary wildly on the tunneled dev chip).
     # A/B'd against one vmapped Pallas call over the stack: the batched
     # kernel serializes its grid and measured slower.
+    t0 = time.perf_counter()
     pts_all = jnp.asarray(np.stack([p for p, _ in chunks]))
     fts_all = jnp.asarray(np.stack([f for _, f in chunks]))
+    pts_all.block_until_ready()
+    fts_all.block_until_ready()
+    t1 = time.perf_counter()
     Ws = jnp.stack([build(pts_all[i], fts_all[i])
                     for i in range(len(chunks))])
     Ws.block_until_ready()
+    t2 = time.perf_counter()
+    STAGE_T["transfer_s"] = t1 - t0
+    STAGE_T["affinity_s"] = t2 - t1
     if os.environ.get("BENCH_SOLVER", "device") == "device" \
             and jax.default_backend() == "tpu":
         from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
@@ -149,9 +159,11 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
             out += recursive_ncut_device(Ws[lo:lo + group],
                                          [n] * len(chunks[lo:lo + group]),
                                          T=T_NCUT, iters=iters)
+        STAGE_T["solver_s"] = time.perf_counter() - t2
         return out
     labels = recursive_ncut_batch(Ws, [n] * len(chunks), T=T_NCUT,
                                   method=method, lobpcg_iters=iters)
+    STAGE_T["solver_s"] = time.perf_counter() - t2
     return labels
 
 
@@ -254,19 +266,47 @@ def main():
     if device_path and device_solver.STATS["overflow"]:
         log("WARNING: device solver queue overflow -- results truncated")
 
+    # Achieved-FLOP accounting (VERDICT r2 #5): analytic FLOP model of the
+    # work actually dispatched -- affinity ~(2*(3+96)+12)*n^2 per chunk
+    # (spatial+TARL cdist + exp/mask fusion), LOBPCG ~iters*2.2*w^2*block
+    # per solve (dominant B@X matvec on the block of 8, plus projections),
+    # threshold sweep ~30*w^2 per solve. Reported against the v5e bf16 MXU
+    # peak (197 TFLOP/s); the path runs f32, so treat mfu as conservative.
+    stage = dict(STAGE_T)
+    flops = None
+    if device_path and device_solver.STATS["solves_per_tier"]:
+        f_aff = n_chunks * (2 * (3 + 96) + 12) * float(n_pts) ** 2
+        f_solve = sum(s * (iters * 2.2 * 8 + 30) * float(w) ** 2
+                      for w, s in
+                      device_solver.STATS["solves_per_tier"].items())
+        elapsed = n_chunks / tpu_rate
+        flops = {
+            "affinity_gflop": round(f_aff / 1e9, 1),
+            "solver_gflop": round(f_solve / 1e9, 1),
+            "achieved_tflops": round((f_aff + f_solve) / elapsed / 1e12, 3),
+            "mfu_vs_v5e_bf16_peak_pct": round(
+                (f_aff + f_solve) / elapsed / 197e12 * 100, 3),
+        }
+        log(f"stage timings (last rep): {stage}; flops: {flops}")
+
     # baseline on a stratified sample of the same chunk mix.
     # CAVEAT: this baseline runs the reference's scipy/ARPACK algorithm on
     # THIS 1-core host, not the reference's 128 GB AMD workstation
     # (README.md:15); treat vs_baseline as same-algorithm-same-host, not
-    # same-hardware-as-paper.
+    # same-hardware-as-paper. Median of N reps: the host swung 60% between
+    # rounds riding on the headline ratio (VERDICT r2 weak #2).
     base_chunks = chunks[::max(len(chunks) // max(n_base, 1), 1)][:n_base]
-    t0 = time.perf_counter()
-    for p, f in base_chunks:
-        baseline_chunk(p, f)
-    cpu_dt = time.perf_counter() - t0
-    cpu_rate = len(base_chunks) / cpu_dt
-    log(f"cpu baseline (1-core host, reference algorithm): {cpu_dt:.2f}s "
-        f"for {len(base_chunks)} chunks -> {cpu_rate:.3f} chunks/s")
+    base_reps = int(os.environ.get("BENCH_BASELINE_REPS", "3"))
+    base_rates = []
+    for _ in range(base_reps):
+        t0 = time.perf_counter()
+        for p, f in base_chunks:
+            baseline_chunk(p, f)
+        base_rates.append(len(base_chunks) / (time.perf_counter() - t0))
+    cpu_rate = float(np.median(base_rates))
+    log(f"cpu baseline (1-core host, reference algorithm): median of "
+        f"{base_reps} reps {cpu_rate:.4f} chunks/s "
+        f"(all: {[round(r, 4) for r in base_rates]})")
 
     # MaskPLS train-step secondary metric, measured in a crash-isolated
     # subprocess (its big executable would otherwise trip the axon
@@ -289,6 +329,9 @@ def main():
             "rounds": device_solver.STATS["rounds"],
             "solves_per_tier": device_solver.STATS["solves_per_tier"],
             "overflow": device_solver.STATS["overflow"]}
+        out["stage_timings_s"] = {k: round(v, 3) for k, v in stage.items()}
+        if flops:
+            out["flops"] = flops
     if train_s is not None:
         out["maskpls_train_s_per_step_30k_bf16"] = round(train_s, 4)
     print(json.dumps(out))

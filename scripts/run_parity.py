@@ -63,7 +63,7 @@ def detect_dataset(path: str) -> dict:
 
 
 def run_config(name: str, data_root: str, out_root: str, backend: str,
-               synthetic: bool):
+               synthetic: bool, out_suffix: str = ""):
     import numpy as np
     from autoinst_tpu.datasets import create_kitti_odometry_dataset
     from autoinst_tpu.pipeline.config import (PipelineConfig, config_spatial,
@@ -82,10 +82,12 @@ def run_config(name: str, data_root: str, out_root: str, backend: str,
         # the reference's TEST_MAP run: defaults (chunk 25, overlap 3,
         # min_points 200, map_scans 1000) == config.py knob surface
         kw = dict(ncut_backend=backend)
+    if out_suffix == "_twin":
+        kw["ncut_backend"] = "reference"   # scipy/ARPACK twin chain
     cfg = PipelineConfig(
         dataset_path=data_root, config=dict(weight_cfg), seqs=(0,),
         test_map=True,
-        out_folder=os.path.join(out_root, name) + "/", **kw)
+        out_folder=os.path.join(out_root, name + out_suffix) + "/", **kw)
     factory = lambda seq: create_kitti_odometry_dataset(
         data_root, seq, ncuts_mode=True)
     results = run(cfg, dataset_factory=factory)
@@ -100,6 +102,11 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--synthetic", action="store_true",
                     help="no real data: run the harness on a generated map")
+    ap.add_argument("--twin", action="store_true",
+                    help="also run the reference-algorithm twin "
+                         "(scipy/ARPACK chain, ncuts/reference_twin.py) on "
+                         "the same map and fill parity_within_tol with the "
+                         "ours-vs-reference-algorithm diff")
     ap.add_argument("--out", default=os.path.join(REPO, ".parity"))
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -141,13 +148,32 @@ def main():
                            args.synthetic)
         ref = REFERENCE.get(name, {})
         diffs = {k: round(stats[k] - ref[k], 4) for k in ref if k in stats}
-        ok = (not args.synthetic) and all(
-            abs(d) <= TOLERANCE for d in diffs.values())
-        report["configs"][name] = {
-            "ours": stats, "reference": ref, "diff": diffs,
-            "parity_within_tol": ok if not args.synthetic else None}
+        entry = {"ours": stats, "reference_published": ref,
+                 "diff_published": diffs}
         log(f"{name}: ours={ {k: round(v, 4) for k, v in stats.items()} }")
-        log(f"{name}: diff vs reference={diffs}")
+        log(f"{name}: diff vs published reference={diffs}")
+        if args.twin:
+            # the comparison that is valid on ANY shared map: ours vs the
+            # reference ALGORITHM (scipy/ARPACK twin) on identical data
+            log(f"=== running reference twin for {name} ===")
+            twin = run_config(name, data_root, args.out, args.backend,
+                              args.synthetic, out_suffix="_twin")
+            twin_diffs = {k: round(stats[k] - twin[k], 4)
+                          for k in twin if k in stats}
+            entry["reference_twin"] = twin
+            entry["diff_twin"] = twin_diffs
+            entry["parity_within_tol"] = all(
+                abs(d) <= TOLERANCE for d in twin_diffs.values())
+            log(f"{name}: twin={ {k: round(v, 4) for k, v in twin.items()} }")
+            log(f"{name}: diff ours-vs-twin={twin_diffs} "
+                f"within_tol={entry['parity_within_tol']}")
+        else:
+            # published numbers are real-KITTI; without --twin there is no
+            # same-data comparison to verdict on a synthetic map
+            entry["parity_within_tol"] = (
+                all(abs(d) <= TOLERANCE for d in diffs.values())
+                if not args.synthetic else None)
+        report["configs"][name] = entry
 
     path = os.path.join(args.out, "parity_report.json")
     with open(path, "w") as fh:

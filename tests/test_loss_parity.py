@@ -6,8 +6,10 @@ FREEPOINT box/center terms (loss.py:296-340), drop-loss filtering
 formulas on small dense inputs."""
 
 import numpy as np
-import torch
-import torch.nn.functional as F
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
 
 import jax.numpy as jnp
 

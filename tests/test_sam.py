@@ -3,7 +3,8 @@ contracts (reference 2D-VFMs/SAM/adapter.py:30-67)."""
 
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")
 
 import jax
 import jax.numpy as jnp

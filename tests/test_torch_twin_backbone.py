@@ -17,7 +17,8 @@ it (flipping torch_convert._ME_K3/_ME_K2 if needed).
 
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")
 
 import jax
 import jax.numpy as jnp
