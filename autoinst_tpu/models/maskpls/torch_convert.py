@@ -37,6 +37,32 @@ _OUR_K2 = list(np.ndindex(2, 2, 2))
 _PERM_K2 = [_ME_K2.index(tuple(o)) for o in _OUR_K2]
 
 
+def set_me_region_order(order: str = "first-fastest") -> None:
+    """Switch the assumed MinkowskiEngine kernel-offset enumeration.
+
+    "first-fastest" (default; ME's documented hypercube behavior): offsets
+    enumerate with the FIRST coordinate axis varying fastest.
+    "last-fastest" is the competing hypothesis. The twins cannot settle
+    which is real (tests/torch_twin_mink.py:23-26 assumes the converter's
+    order); scripts/fingerprint_weights.py runs a released checkpoint
+    under both and the coherent one wins."""
+    global _ME_K3, _ME_K2, _PERM_K3, _PERM_K2
+    if order == "first-fastest":
+        _ME_K3 = [(i, j, k) for k in (-1, 0, 1) for j in (-1, 0, 1)
+                  for i in (-1, 0, 1)]
+        _ME_K2 = [(i, j, k) for k in (0, 1) for j in (0, 1)
+                  for i in (0, 1)]
+    elif order == "last-fastest":
+        _ME_K3 = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+                  for k in (-1, 0, 1)]
+        _ME_K2 = [(i, j, k) for i in (0, 1) for j in (0, 1)
+                  for k in (0, 1)]
+    else:
+        raise ValueError(f"unknown region order {order!r}")
+    _PERM_K3 = [_ME_K3.index(o) for o in _OUR_K3]
+    _PERM_K2 = [_ME_K2.index(tuple(o)) for o in _OUR_K2]
+
+
 def _conv(src, perm):
     """[K, Ci, Co] ME kernel -> our [K*Ci, Co] with offset reorder."""
     k, ci, co = src.shape

@@ -28,9 +28,20 @@ from autoinst_tpu.ncuts.solver import ncut_threshold_sweep
 
 # (tier width, nodes solved per iteration, queue capacity); the per-tier
 # batch is small at big widths because padded slots in a deep recursion
-# chain cost full solves
-_TIERS = ((256, 8, 8192), (1024, 8, 2048), (4096, 4, 512),
-          (16384, 1, 128))
+# chain cost full solves. Small-tier batches are WIDE: on the 16x4096
+# bench the 256 tier runs 476 of 634 solves and its LOBPCG is
+# latency-bound (240 sequential block-of-8 matmuls), so batching 32
+# lanes per round costs ~the same wall time as 8 and quarters the round
+# count (VERDICT r2 #7). Override per-tier batches for A/B runs with
+# AUTOINST_TIER_BATCHES="b256,b1024,b4096,b16384".
+import os as _os
+
+_TIER_BATCHES = tuple(int(x) for x in _os.environ.get(
+    "AUTOINST_TIER_BATCHES", "32,16,4,1").split(","))
+_TIERS = tuple(
+    (w, b, c) for (w, c), b in zip(
+        ((256, 8192), (1024, 2048), (4096, 512), (16384, 128)),
+        _TIER_BATCHES))
 
 # per-chunk component-table capacity for the connected-component seeding
 _SEED_CAP = 512
