@@ -9,6 +9,7 @@ per-point Open3D KD-tree loops replaced by device ops:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from autoinst_tpu.hostops import grid_nn1
@@ -33,6 +34,15 @@ def statistical_inlier_indices(points: np.ndarray, nb_neighbors: int = 20,
     """Indices of statistical inliers (reference point_cloud_utils.py:198-202)."""
     if len(points) == 0:
         return np.zeros(0, np.int64)
+    if jax.default_backend() != "tpu":
+        # KD-tree host path: the blocked O(N^2) bruteforce is MXU-shaped
+        # but takes tens of minutes per aggregated ground chunk on a
+        # 1-core host (hundreds of thousands of points)
+        from autoinst_tpu.hostops.outliers import statistical_inlier_mask_host
+        mask = statistical_inlier_mask_host(
+            np.asarray(points), nb_neighbors=nb_neighbors,
+            std_ratio=std_ratio)
+        return np.where(mask)[0]
     padded, valid = _pad_to_bucket(points)
     mask = np.asarray(statistical_inlier_mask(
         jnp.asarray(padded), jnp.asarray(valid),

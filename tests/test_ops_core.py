@@ -148,6 +148,20 @@ class TestNeighbors:
         assert not m[0]
         assert m[1:].mean() > 0.9
 
+    def test_statistical_inliers_host_matches_device(self):
+        # the KD-tree host path (hostops/outliers.py) must reproduce the
+        # blocked device bruteforce exactly -- it replaces it whenever the
+        # backend is not TPU (pipeline/chunking.statistical_inlier_indices)
+        from autoinst_tpu.hostops.outliers import statistical_inlier_mask_host
+        rng = np.random.default_rng(12)
+        cloud = np.concatenate([
+            rng.normal(scale=0.4, size=(800, 3)),
+            rng.uniform(-30, 30, size=(25, 3))]).astype(np.float32)
+        dev = np.asarray(neighbors.statistical_inlier_mask(
+            jnp.asarray(cloud), block=256))
+        host = statistical_inlier_mask_host(cloud)
+        assert (dev == host).all()
+
     def test_padding_respected(self):
         q = rand_pts(10, seed=9)
         r = np.concatenate([rand_pts(5, seed=10), np.zeros((5, 3), np.float32)])
