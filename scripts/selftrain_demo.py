@@ -48,11 +48,18 @@ def phase_gen(work):
     # (round-2 map) objects sat in x in [6,36] of a 120 m drive, 3 of 4
     # eval chunks were pure ground, and all object metrics hinged on one
     # chunk (NOTES_ROUND2.md "the demo MAP is degenerate").
+    # paired_tarl + 10 adjacent pairs + dense clutter keep NCuts honest on
+    # the spread map: with per-instance one-hot TARL the spread map was
+    # TRIVIAL (round-3 baseline scored p=r=f1=1.0, leaving the refined
+    # branch nothing to beat); pairs sharing a TARL signature reproduce
+    # the real failure mode (spatial cuts merge ~1.2 m neighbors).
     generate_sequence(
         root, n_scans=N_SCANS, step=STEP, points_per_object=700,
-        ground_points=9000, n_objects=16, seed=SEED, varied_objects=True,
-        adjacent_pairs=4, n_clutter=30, ring_ground=True,
-        density_falloff=True, object_span=N_SCANS * STEP)
+        ground_points=9000, n_objects=20, seed=SEED, varied_objects=True,
+        adjacent_pairs=10, n_clutter=50, ring_ground=True,
+        density_falloff=True, object_span=N_SCANS * STEP,
+        paired_tarl=True, tarl_noise=0.08, pair_gap=(0.35, 1.0),
+        n_large=8)
     log("map written to", root)
 
 

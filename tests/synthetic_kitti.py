@@ -21,10 +21,12 @@ SENSOR_H = 1.723  # sensor height above ground (KITTI velodyne mount)
 
 
 def make_scene_objects(rng, n_objects=4, span=30.0, varied=False,
-                       adjacent_pairs=0):
+                       adjacent_pairs=0, pair_gap=(0.9, 1.4)):
     """Objects as (center, size[, kind]) tuples. varied=True mixes boxes
     (cars), cylinders (trunks) and thin walls; adjacent_pairs adds pairs
-    of objects ~1.2 m apart (the case spatial-only NCut tends to merge)."""
+    of objects pair_gap apart surface-to-surface (the case spatial-only
+    NCut tends to merge; gaps straddling the 1.0 m proximity threshold
+    make the merge borderline, flipping per view)."""
     objs = []
     for i in range(n_objects):
         center = np.array([6.0 + i * span / n_objects,
@@ -39,10 +41,26 @@ def make_scene_objects(rng, n_objects=4, span=30.0, varied=False,
         base = np.array([9.0 + p * span / max(adjacent_pairs, 1),
                          rng.uniform(-6, 6), -SENSOR_H + 0.8])
         sz = rng.uniform(1.2, 2.0, size=3)
-        gap = sz[1] / 2 + rng.uniform(0.9, 1.4)
+        gap = sz[1] / 2 + rng.uniform(*pair_gap)
         objs.append((base, sz, "box"))
         objs.append((base + np.array([0.0, gap + sz[1] / 2, 0.0]),
                      rng.uniform(1.2, 2.0, size=3), "box"))
+    return objs
+
+
+def add_large_objects(rng, objs, n_large, span=30.0):
+    """Bus/tram-scale boxes (6-9 m long): elongated uniform clusters that
+    proximity-graph NCut tends to OVER-segment (the chain cut through a
+    long object's cross-section is cheap), the second real failure mode
+    next to adjacent-pair merging."""
+    for i in range(n_large):
+        center = np.array([12.0 + (i + 0.3) * span / max(n_large, 1),
+                           rng.uniform(-8, 8), -SENSOR_H + 1.3])
+        size = np.array([rng.uniform(6.0, 9.0), rng.uniform(2.2, 2.6),
+                         rng.uniform(2.4, 3.0)])
+        if rng.uniform() < 0.5:
+            size[[0, 1]] = size[[1, 0]]  # half run crosswise
+        objs.append((center, size, "box"))
     return objs
 
 
@@ -110,7 +128,8 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
                       with_moving=True, tarl=True, cams=False,
                       varied_objects=False, adjacent_pairs=0, n_clutter=0,
                       ring_ground=False, density_falloff=False,
-                      object_span=None):
+                      object_span=None, paired_tarl=False,
+                      tarl_noise=0.0, pair_gap=(0.9, 1.4), n_large=0):
     """Write sequence 00 under `root`. Returns (poses_velo, objects).
 
     Realism knobs (all default-off, keeping the original easy scenes):
@@ -138,7 +157,10 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
     span = 30.0 if object_span is None else float(object_span)
     objects = make_scene_objects(rng, n_objects=n_objects, span=span,
                                  varied=varied_objects,
-                                 adjacent_pairs=adjacent_pairs)
+                                 adjacent_pairs=adjacent_pairs,
+                                 pair_gap=pair_gap)
+    if n_large:
+        objects = add_large_objects(rng, objects, n_large, span=span)
     clutter = make_clutter(rng, n_clutter, span=span) if n_clutter else []
 
     # KITTI-style velodyne->camera axis permutation (cam z = velo x,
@@ -239,11 +261,26 @@ def generate_sequence(root, n_scans=5, step=2.5, points_per_object=260,
         labels.tofile(os.path.join(label_dir, f"{s:06d}.label"))
 
         if tarl:
-            # features that separate objects: object id one-hot-ish pattern
+            # features that separate objects: object id one-hot-ish pattern.
+            # paired_tarl: members of an adjacent pair SHARE one feature dim
+            # (real TARL cannot tell two adjacent same-class objects apart;
+            # per-instance one-hots are an unrealistic oracle that lets the
+            # TARL affinity term split pairs spatial cuts would merge).
+            # tarl_noise adds per-point gaussian jitter for the same reason.
             feats = np.zeros((len(pts_s), 96), np.float32)
             feats[:, 0] = 0.1
+            pairs_end = n_objects + (len(objects) - n_objects - n_large)
             for oid in range(len(objects)):
-                feats[insts == oid + 1, oid + 1] = 1.0
+                dim = oid
+                if paired_tarl and n_objects <= oid < pairs_end:
+                    dim = n_objects + (oid - n_objects) // 2
+                elif paired_tarl and oid >= pairs_end:
+                    dim = n_objects + (pairs_end - n_objects) // 2 \
+                        + (oid - pairs_end)
+                feats[insts == oid + 1, dim + 1] = 1.0
+            if tarl_noise:
+                feats += rng.normal(scale=tarl_noise,
+                                    size=feats.shape).astype(np.float32)
             with open(os.path.join(tarl_dir, f"{s:06d}.bin"), "wb") as fh:
                 fh.write(zlib.compress(feats.tobytes()))
 
