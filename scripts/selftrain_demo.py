@@ -134,8 +134,13 @@ def phase_baseline(work):
 
 
 def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
-                ckpt_name="ckpts", eos_coef=1.0):
-    # real TPU: do NOT force cpu; train CLI handles caching via env
+                ckpt_name="ckpts", eos_coef=1.0, cpu=False):
+    # real TPU by default; the container pins the axon platform, so a CPU
+    # run (tunnel outage hedge) must force it in-process -- the
+    # JAX_PLATFORMS env var alone is overridden (CLAUDE.md)
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(REPO, ".jax_cache"))
     from autoinst_tpu.models.maskpls.model import MaskPLSConfig
@@ -200,6 +205,9 @@ def main():
     ap.add_argument("--no-aug", action="store_true")
     ap.add_argument("--eos-coef", type=float, default=1.0)
     ap.add_argument("--ckpt-name", default="ckpts")
+    ap.add_argument("--cpu", action="store_true",
+                    help="train: force the CPU backend (tunnel-outage "
+                         "hedge; checkpoints stay TPU-resumable)")
     _args_extra(ap)
     args = ap.parse_args()
     os.makedirs(args.work, exist_ok=True)
@@ -213,7 +221,8 @@ def main():
     elif args.phase == "train":
         phase_train(args.work, args.epochs, args.dtype, data=args.data,
                     cache_batches=args.cache_batches, aug=not args.no_aug,
-                    ckpt_name=args.ckpt_name, eos_coef=args.eos_coef)
+                    ckpt_name=args.ckpt_name, eos_coef=args.eos_coef,
+                    cpu=args.cpu)
     elif args.phase == "eval":
         phase_eval(args.work, ckpt_name=args.ckpt_name)
 
