@@ -43,6 +43,33 @@ def filter_small_instances(labels: np.ndarray, min_points: int,
     return labels
 
 
+def canonicalize_label_order(base: np.ndarray, *arrays: np.ndarray):
+    """Renumber instance ids by first occurrence in `base` (0 stays 0).
+
+    The greedy matcher and the no-confidence AP walk order predictions by
+    *ascending label id* (reference metrics_class.py:61-117/181-235), so two
+    pipelines producing IDENTICAL segmentations under different arbitrary
+    label numbering can score different P/R/AP. First-occurrence
+    renumbering makes the evaluation invariant to that arbitrariness; the
+    parity harness applies it to both sides (scripts/run_parity.py). Off by
+    default everywhere else: reference metric semantics keep the raw ids.
+
+    Returns the remapped copies of `arrays`; ids absent from `base`
+    (remove_semantics zeros) map to 0.
+    """
+    ids, first = np.unique(base, return_index=True)
+    rank = np.zeros(len(ids), dtype=base.dtype)
+    nz = np.nonzero(ids != 0)[0]
+    rank[nz[np.argsort(first[nz])]] = np.arange(1, len(nz) + 1,
+                                                dtype=base.dtype)
+    out = []
+    for a in arrays:
+        pos = np.clip(np.searchsorted(ids, a), 0, len(ids) - 1)
+        hit = ids[pos] == a
+        out.append(np.where(hit, rank[pos], 0).astype(base.dtype))
+    return out
+
+
 def _contingency(pred: np.ndarray, gt: np.ndarray):
     """Intersection areas between every (pred id, gt id) pair plus sizes."""
     pred = pred.astype(np.int64).ravel()

@@ -94,6 +94,10 @@ class PipelineConfig:
     ncut_backend: str = "auto"       # device | host | auto (device on TPU)
     affinity_tile: int = 256
     use_pallas: bool | None = None   # None = auto (TPU yes, CPU no)
+    # evaluation-only: renumber predicted ids by first occurrence before
+    # metrics so the label-ascending greedy/AP tie-breaks are invariant to
+    # arbitrary label numbering (parity harness sets it on BOTH sides)
+    canonical_label_order: bool = False
 
     def __post_init__(self):
         if self.gen_self_train_data:

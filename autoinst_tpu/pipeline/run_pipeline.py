@@ -242,6 +242,13 @@ def run(cfg: PipelineConfig | None = None, dataset_factory=None):
             with stage_timer("metrics"):
                 instance_preds = remove_semantics(labels_instances,
                                                   labels_ncuts_all.copy())
+                if cfg.canonical_label_order:
+                    from autoinst_tpu.metrics.instance_metrics import \
+                        canonicalize_label_order
+                    labels_ncuts_all, instance_preds = \
+                        canonicalize_label_order(labels_ncuts_all,
+                                                 labels_ncuts_all,
+                                                 instance_preds)
                 if maskpls is not None:
                     label_to_confidence = maskpls.label_to_conf(
                         merge_ncuts, instance_preds)

@@ -87,6 +87,10 @@ def run_config(name: str, data_root: str, out_root: str, backend: str,
     cfg = PipelineConfig(
         dataset_path=data_root, config=dict(weight_cfg), seqs=(0,),
         test_map=True,
+        # both sides: first-occurrence label renumbering so the
+        # label-ascending AP/greedy tie-breaks don't turn identical
+        # segmentations into a metric diff (instance_metrics.py)
+        canonical_label_order=True,
         out_folder=os.path.join(out_root, name + out_suffix) + "/", **kw)
     factory = lambda seq: create_kitti_odometry_dataset(
         data_root, seq, ncuts_mode=True)

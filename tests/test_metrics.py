@@ -230,3 +230,50 @@ class TestColorPalettes:
     def test_no_black(self):
         from autoinst_tpu.utils.colors import generate_random_colors_map
         assert (0, 0, 0) not in generate_random_colors_map(600)
+
+
+class TestCanonicalLabelOrder:
+    """First-occurrence renumbering used by the parity harness so the
+    label-ascending AP/greedy tie-breaks are numbering-invariant."""
+
+    def test_first_occurrence_ranks(self):
+        import numpy as np
+        from autoinst_tpu.metrics.instance_metrics import \
+            canonicalize_label_order
+        base = np.array([7, 7, 3, 0, 3, 9, 9, 9])
+        preds = np.array([7, 7, 0, 0, 3, 9, 9, 0])
+        b, p = canonicalize_label_order(base, base, preds)
+        assert b.tolist() == [1, 1, 2, 0, 2, 3, 3, 3]
+        assert p.tolist() == [1, 1, 0, 0, 2, 3, 3, 0]
+
+    def test_absent_and_negative_ids(self):
+        import numpy as np
+        from autoinst_tpu.metrics.instance_metrics import \
+            canonicalize_label_order
+        base = np.array([-5, 2, -5, 0])
+        (c,) = canonicalize_label_order(base, base)
+        assert c.tolist() == [1, 2, 1, 0]
+        (x,) = canonicalize_label_order(base, np.array([4, 2, 100]))
+        assert x.tolist() == [0, 2, 0]
+
+    def test_metrics_invariant_under_relabeling(self):
+        """Identical segmentations under different arbitrary numbering score
+        identically once canonicalized (the parity-harness property)."""
+        import numpy as np
+        from autoinst_tpu.metrics.instance_metrics import (
+            InstanceMetrics, canonicalize_label_order)
+        rng = np.random.default_rng(3)
+        gt = rng.integers(0, 5, 400)
+        pred_a = gt.copy()
+        # a different arbitrary numbering of the SAME segmentation
+        remap = {0: 0, 1: 9, 2: 4, 3: 30, 4: 2}
+        pred_b = np.vectorize(remap.get)(pred_a)
+
+        def seq_stats(pred):
+            (c,) = canonicalize_label_order(pred, pred)
+            m = InstanceMetrics("t", min_points=1)
+            m.update_stats(c, c.copy(), gt)
+            return m.sequence_stats()
+
+        a, b = seq_stats(pred_a), seq_stats(pred_b)
+        assert a == b, (a, b)

@@ -39,7 +39,8 @@ def _run(root, out, weight_config, backend):
         dataset_path=root, config=dict(weight_config), seqs=(0,),
         chunk_size=np.array([14, 14, 14]), overlap=3,
         metrics_min_points=120, ncut_method="eigh", ncut_backend=backend,
-        use_pallas=False, out_folder=str(out) + "/", min_map_scans=2)
+        use_pallas=False, out_folder=str(out) + "/", min_map_scans=2,
+        canonical_label_order=True)
     results = run(cfg, dataset_factory=lambda seq:
                   create_kitti_odometry_dataset(root, seq, ncuts_mode=True))
     return results[0]["sequence"]
