@@ -63,6 +63,20 @@ def test_maskpls_pipeline_end_to_end(tmp_path):
     for key in ("p", "r", "f1", "ap", "S_assoc"):
         assert key in seq_stats
         assert np.isfinite(seq_stats[key])
-    # confidence json was stored (RGB contract)
+    # Quality floors (VERDICT r2 #4): a 2-step-trained tiny model cannot
+    # clear precision floors, but it must not COLLAPSE.  Calibration run
+    # (2026-08-18, seed 5 map): S_assoc 0.184, ap0.25 0.667, p/r/f1 0.0;
+    # the round-2 all-zeros failure mode scored S_assoc 0.014 with zero
+    # surviving instances.  Floors sit between the two with margin.
+    assert seq_stats["S_assoc"] > 0.08, seq_stats
+    assert seq_stats["ap0.25"] > 0.2, seq_stats
+    # confidence json was stored (RGB contract) and carries at least one
+    # predicted instance per map (classifier non-collapse)
+    import json
     confs = [f for f in os.listdir(out2 / "0") if f.endswith("_confs.json")]
     assert confs
+    n_pred = 0
+    for f in confs:
+        with open(out2 / "0" / f) as fh:
+            n_pred += len(json.load(fh))
+    assert n_pred >= 1, "no predicted instances survived (collapse)"
