@@ -66,7 +66,7 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
           ckpt_every: int = 1, seed: int = 0, subsample: int = 80000,
           min_points: int = 100, limit_steps: int | None = None,
           dataset_kind: str = "pseudo", cache_batches: int = 0,
-          aug: bool = True):
+          aug: bool = True, reset_opt: bool = False):
     """dataset_kind: 'pseudo' = NCuts pseudo-label chunks (class-agnostic
     self-training), 'semantic' = GT SemanticKITTI scans (supervised; items
     carry sem_labels so cfg.sem_loss can supervise the backbone head).
@@ -132,7 +132,20 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
 
     example = next(batches())
     state = create_train_state(jax.random.PRNGKey(seed), cfg, example[0])
-    if resume:
+    if resume and reset_opt:
+        # params/batch_stats only: lets a checkpoint resume under a
+        # DIFFERENT optimizer structure (e.g. batch_acc change rewraps the
+        # tx in optax.MultiSteps, so the saved opt_state no longer matches)
+        from flax import serialization
+        with open(resume, "rb") as fh:
+            raw = serialization.msgpack_restore(fh.read())
+        state = state.replace(
+            params=serialization.from_state_dict(state.params,
+                                                 raw["params"]),
+            batch_stats=serialization.from_state_dict(state.batch_stats,
+                                                      raw["batch_stats"]))
+        print(f"resumed params-only from {resume} (fresh optimizer)")
+    elif resume:
         state = load_checkpoint(resume, state)
         print(f"resumed from {resume} at step {int(state.step)}")
 

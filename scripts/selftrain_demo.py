@@ -134,7 +134,8 @@ def phase_baseline(work):
 
 
 def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
-                ckpt_name="ckpts", eos_coef=1.0, cpu=False):
+                ckpt_name="ckpts", eos_coef=1.0, cpu=False, batch_acc=4,
+                lr=1e-4, reset_opt=False):
     # real TPU by default; the container pins the axon platform, so a CPU
     # run (tunnel outage hedge) must force it in-process -- the
     # JAX_PLATFORMS env var alone is overridden (CLAUDE.md)
@@ -155,10 +156,12 @@ def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
     # 2-draw) run memorized its 24 fixed batches -- train loss 15.8 but
     # ~50 on any fresh draw and mask dice ~0.8 at inference
     train(data, epochs=epochs, ckpt_dir=ckpt, resume=resume,
+          reset_opt=reset_opt,
           v0=32768, n_points=30720, t_max=40, ckpt_every=25,
           min_points=100, subsample=30000, cache_batches=cache_batches,
           aug=aug, cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40,
-                                     eos_coef=eos_coef))
+                                     eos_coef=eos_coef, batch_acc=batch_acc,
+                                     lr=lr))
 
 
 def phase_eval(work, ckpt_name="ckpts"):
@@ -204,6 +207,13 @@ def main():
     ap.add_argument("--cache-batches", type=int, default=12)
     ap.add_argument("--no-aug", action="store_true")
     ap.add_argument("--eos-coef", type=float, default=1.0)
+    ap.add_argument("--batch-acc", type=int, default=4,
+                    help="gradient accumulation steps (1 = 4x more "
+                         "optimizer updates per epoch at same wall time)")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--reset-opt", action="store_true",
+                    help="resume params only (fresh optimizer; required "
+                         "when --batch-acc changes across segments)")
     ap.add_argument("--ckpt-name", default="ckpts")
     ap.add_argument("--cpu", action="store_true",
                     help="train: force the CPU backend (tunnel-outage "
@@ -222,7 +232,8 @@ def main():
         phase_train(args.work, args.epochs, args.dtype, data=args.data,
                     cache_batches=args.cache_batches, aug=not args.no_aug,
                     ckpt_name=args.ckpt_name, eos_coef=args.eos_coef,
-                    cpu=args.cpu)
+                    cpu=args.cpu, batch_acc=args.batch_acc, lr=args.lr,
+                    reset_opt=args.reset_opt)
     elif args.phase == "eval":
         phase_eval(args.work, ckpt_name=args.ckpt_name)
 
