@@ -34,6 +34,19 @@ def test_refined_beats_ncuts_baseline():
     assert refined["f1"] >= base["f1"] - 0.02, (refined, base)
 
 
+def test_eval_path_ceiling():
+    """The refined EVAL PATH (downsample -> 1-NN label transfer -> chunk
+    merge -> confidence contract -> metrics) must not cap the refined
+    branch: an oracle refiner fed GT instance labels per chunk
+    (scripts/eval_oracle.py) has to clear the NCuts baseline by a wide
+    margin, proving headroom lies in model quality, not the path."""
+    base = _load("ncuts_baseline.json")
+    oracle = _load("oracle_ceiling.json")
+    assert oracle["ap"] > base["ap"] + 0.2, (oracle, base)
+    assert oracle["S_assoc"] > base["S_assoc"] + 0.1, (oracle, base)
+    assert oracle["f1"] >= 0.95, oracle
+
+
 def test_refined_quality_floor():
     refined = _load("refined.json")
     # floor, not finiteness: a collapsed model (the r1 artifact was all
