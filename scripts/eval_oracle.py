@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--n-points", type=int, default=30720,
                     help="mirror the real refiner's downsample so the "
                          "comparison isolates the path, not the density")
+    ap.add_argument("--source", choices=["gt", "pseudo"], default="gt",
+                    help="gt: GT instance labels (eval-path ceiling); "
+                         "pseudo: nearest overlap-24 train chunk's NCuts "
+                         "labels (what PERFECT pseudo-label memorization "
+                         "would score at eval)")
+    ap.add_argument("--train-chunks", default="out_export24/train/0")
     args = ap.parse_args()
 
     import jax
@@ -52,14 +58,37 @@ def main():
     from autoinst_tpu.utils.pcd_io import read_pcd_file
     from autoinst_tpu.utils.pointcloud import PointCloud
 
-    ng = read_pcd_file(os.path.join(out_dir, "pcd_nonground_minor0_0.pcd"))
-    g = read_pcd_file(os.path.join(out_dir, "pcd_ground_minor0_0.pcd"))
-    with np.load(os.path.join(out_dir,
-                              "kitti_labels_preprocessed0_0.npz")) as d:
-        labels = np.hstack((d["instance_nonground"].reshape(-1),
-                            d["instance_ground"].reshape(-1)))
-    pts = np.vstack((np.asarray(ng.points), np.asarray(g.points)))
-    tree = cKDTree(pts)
+    if args.source == "gt":
+        ng = read_pcd_file(os.path.join(out_dir,
+                                        "pcd_nonground_minor0_0.pcd"))
+        g = read_pcd_file(os.path.join(out_dir, "pcd_ground_minor0_0.pcd"))
+        with np.load(os.path.join(out_dir,
+                                  "kitti_labels_preprocessed0_0.npz")) as d:
+            labels = np.hstack((d["instance_nonground"].reshape(-1),
+                                d["instance_ground"].reshape(-1)))
+        pts = np.vstack((np.asarray(ng.points), np.asarray(g.points)))
+        sources = [(cKDTree(pts), labels.astype(np.int64), None)]
+    else:
+        import glob
+        sources = []
+        for p in sorted(glob.glob(os.path.join(
+                args.work, args.train_chunks, "*.npz"))):
+            with np.load(p) as d:
+                cp = d["pts"][:, :3].astype(np.float64)
+                sources.append((cKDTree(cp),
+                                d["ncut_labels"].astype(np.int64),
+                                cp.mean(axis=0)))
+        print(f"pseudo source: {len(sources)} train chunks", flush=True)
+
+    def lookup(minor):
+        if len(sources) == 1:
+            tree, labels, _ = sources[0]
+        else:
+            c = minor.mean(axis=0)
+            tree, labels, _ = min(
+                sources, key=lambda s: float(np.sum((s[2] - c) ** 2)))
+        _, idx = tree.query(minor, workers=-1)
+        return labels[idx]
 
     real = refiner_mod.RefinerModel
 
@@ -71,8 +100,7 @@ def main():
         def forward_point_cloud(self, pcd_full):
             target = min(60000, self.n_points)
             minor = self._downsample(np.asarray(pcd_full.points), target)
-            _, idx = tree.query(minor, workers=-1)
-            ins = labels[idx].astype(np.int64)
+            ins = lookup(minor)
             return ins, PointCloud(minor), np.ones(len(minor), np.float32)
 
     refiner_mod.RefinerModel = OracleRefiner
