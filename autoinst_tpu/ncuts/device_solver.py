@@ -28,16 +28,16 @@ from autoinst_tpu.ncuts.solver import ncut_threshold_sweep
 
 # (tier width, nodes solved per iteration, queue capacity); the per-tier
 # batch is small at big widths because padded slots in a deep recursion
-# chain cost full solves. Small-tier batches are WIDE: on the 16x4096
-# bench the 256 tier runs 476 of 634 solves and its LOBPCG is
-# latency-bound (240 sequential block-of-8 matmuls), so batching 32
-# lanes per round costs ~the same wall time as 8 and quarters the round
-# count (VERDICT r2 #7). Override per-tier batches for A/B runs with
-# AUTOINST_TIER_BATCHES="b256,b1024,b4096,b16384".
+# chain cost full solves. The measured A/B (results/bench_ab_r3, VERDICT
+# r2 #7) shows widening the 256 tier to 32 lanes cuts solver rounds
+# 61 -> 18 but does NOT move wall time -- each round is proportionally
+# wider, so the solver is lane-work-bound, not dispatch-bound. Default
+# stays 8,8,4,1 (same speed, lower peak memory). Override per-tier
+# batches for A/B runs with AUTOINST_TIER_BATCHES="b256,b1024,b4096,b16384".
 import os as _os
 
 _TIER_BATCHES = tuple(int(x) for x in _os.environ.get(
-    "AUTOINST_TIER_BATCHES", "32,16,4,1").split(","))
+    "AUTOINST_TIER_BATCHES", "8,8,4,1").split(","))
 _TIERS = tuple(
     (w, b, c) for (w, c), b in zip(
         ((256, 8192), (1024, 2048), (4096, 512), (16384, 128)),

@@ -69,27 +69,59 @@ def knn_edges(pts: np.ndarray, k: int = 6) -> np.ndarray:
     return np.unique(np.stack([lo, hi], axis=1), axis=0)
 
 
+def chunk_owners(global_ids: list[np.ndarray],
+                 point_sets: list[np.ndarray], n_global: int) -> np.ndarray:
+    """Per-point owner chunk: the containing chunk whose center is nearest.
+
+    The owner is the chunk where the point is most central, i.e. where its
+    object is most likely fully contained and NCuts saw the whole thing --
+    the same trust rule the eval-side chunk merge applies implicitly."""
+    best = np.full(n_global, np.inf)
+    owner = np.full(n_global, -1, np.int32)
+    for c, (gl, pts) in enumerate(zip(global_ids, point_sets)):
+        center = pts.mean(axis=0)
+        d = np.linalg.norm(pts[:, :2] - center[None, :2], axis=1)
+        upd = d < best[gl]
+        gu = gl[upd]
+        best[gu] = d[upd]
+        owner[gu] = c
+    return owner
+
+
 def fuse_labels(global_ids: list[np.ndarray], labels: list[np.ndarray],
-                n_global: int, edges: np.ndarray,
-                min_votes: int = 1) -> np.ndarray:
-    """Majority-vote co-association fusion.
+                n_global: int, edges: np.ndarray, min_votes: int = 1,
+                rule: str = "majority",
+                owners: np.ndarray | None = None) -> np.ndarray:
+    """Co-association fusion over a kNN graph.
 
     global_ids[c][i] is the global id of chunk c's point i; labels[c][i] its
-    per-chunk instance label (< 0 = unlabeled). Returns fused instance ids
-    [n_global] (points on no surviving edge get singleton components)."""
+    per-chunk instance label (< 0 = unlabeled). rule: "majority" keeps an
+    edge when same-votes exceed different-votes; "unanimous" cuts on any
+    different-vote (split-biased -- NCuts merge errors are systematic, so a
+    majority can bake them in). owners (from chunk_owners) restricts each
+    edge's electorate to the chunks owning its endpoints. Returns fused
+    instance ids [n_global] (points on no surviving edge get singleton
+    components)."""
     same = np.zeros(len(edges), np.int32)
     diff = np.zeros(len(edges), np.int32)
     lut = np.full(n_global, -1, np.int32)
     ep, eq = edges[:, 0], edges[:, 1]
-    for gl, lab in zip(global_ids, labels):
+    for c, (gl, lab) in enumerate(zip(global_ids, labels)):
         lut[gl] = lab.astype(np.int32)
         lp, lq = lut[ep], lut[eq]
         valid = (lp >= 0) & (lq >= 0)
+        if owners is not None:
+            valid &= (owners[ep] == c) | (owners[eq] == c)
         eq_lab = valid & (lp == lq)
         same += eq_lab
         diff += valid & ~eq_lab
         lut[gl] = -1
-    keep = (same > diff) & (same + diff >= min_votes)
+    if rule == "majority":
+        keep = (same > diff) & (same + diff >= min_votes)
+    elif rule == "unanimous":
+        keep = (diff == 0) & (same >= min_votes)
+    else:
+        raise ValueError(f"unknown fusion rule: {rule}")
     e = edges[keep]
     graph = coo_matrix((np.ones(len(e), np.int8), (e[:, 0], e[:, 1])),
                        shape=(n_global, n_global))
