@@ -190,6 +190,8 @@ def main():
     n_base = int(os.environ.get("BENCH_BASELINE_CHUNKS", "2"))
     n_pts = int(os.environ.get("BENCH_N", "4096"))
     precompile_mode = os.environ.get("BENCH_PRECOMPILE") == "1"
+    global LOADAVG0
+    LOADAVG0 = os.getloadavg()[0]
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -241,7 +243,7 @@ def main():
     # median of N timed repetitions (single measurements over the tunnel
     # vary by >5%; r1 recorded 7.70 vs 8.24 across runs)
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    rates, labels = [], None
+    rates, labels, stage_reps = [], None, []
     for rep in range(reps):
         for k in HOST_STATS:
             HOST_STATS[k] = 0
@@ -249,6 +251,7 @@ def main():
         labels = tpu_run(chunks, use_pallas, method, iters)
         dt = time.perf_counter() - t0
         rates.append(n_chunks / dt)
+        stage_reps.append({k: round(v, 3) for k, v in STAGE_T.items()})
         if device_path:
             log(f"rep {rep}: {dt:.2f}s ({rates[-1]:.2f} chunks/s); device "
                 f"solver stats: rounds={device_solver.STATS['rounds']} "
@@ -272,6 +275,10 @@ def main():
     # per solve (dominant B@X matvec on the block of 8, plus projections),
     # threshold sweep ~30*w^2 per solve. Reported against the v5e bf16 MXU
     # peak (197 TFLOP/s); the path runs f32, so treat mfu as conservative.
+    # Per-rep stages expose contention: the r3 A/B recorded transfer_s=1.5
+    # for a 26 MB put that measures 0.024 s on an idle tunnel -- those runs
+    # shared the chip with a trainer and the 1-core host with eval jobs.
+    # Load average at bench start is recorded for the same reason.
     stage = dict(STAGE_T)
     flops = None
     if device_path and device_solver.STATS["solves_per_tier"]:
@@ -330,6 +337,11 @@ def main():
             "solves_per_tier": device_solver.STATS["solves_per_tier"],
             "overflow": device_solver.STATS["overflow"]}
         out["stage_timings_s"] = {k: round(v, 3) for k, v in stage.items()}
+        out["stage_timings_per_rep"] = stage_reps
+        try:
+            out["host_loadavg_at_start"] = round(LOADAVG0, 2)
+        except NameError:
+            pass
         if flops:
             out["flops"] = flops
     if train_s is not None:
