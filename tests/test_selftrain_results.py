@@ -47,6 +47,20 @@ def test_eval_path_ceiling():
     assert oracle["f1"] >= 0.95, oracle
 
 
+def test_merged_relabel_ceiling_beats_baseline():
+    """The merged-map relabeled training targets (scripts/
+    relabel_from_merged.py) must keep a memorization ceiling ABOVE the
+    NCuts baseline -- the property that makes self-training able to win
+    at all: targets that are globally consistent (trainable) yet carry
+    the eval-side merge's quality. Guards against regressions in the
+    merge/relabel chain degrading the achievable refined score."""
+    base = _load("ncuts_baseline.json")
+    ceiling = _load("merged_oracle_ceiling.json")
+    assert ceiling["ap"] > base["ap"], (ceiling, base)
+    assert ceiling["S_assoc"] > base["S_assoc"], (ceiling, base)
+    assert ceiling["f1"] >= base["f1"] - 1e-9, (ceiling, base)
+
+
 def test_refined_quality_floor():
     refined = _load("refined.json")
     # floor, not finiteness: a collapsed model (the r1 artifact was all
