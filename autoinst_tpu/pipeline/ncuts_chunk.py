@@ -19,6 +19,7 @@ from autoinst_tpu.pipeline.chunking import (get_indices_feature_reprojection,
                                             statistical_inlier_indices,
                                             tarl_features_per_patch)
 from autoinst_tpu.utils.colors import generate_random_colors
+from autoinst_tpu.utils.transfer import put_features
 from autoinst_tpu.utils.pointcloud import PointCloud
 
 
@@ -48,7 +49,9 @@ def chunk_affinity(points_major: np.ndarray, cfg, tarl_features=None
     if tarl_features is not None:
         tarl = np.zeros((len(padded), tarl_features.shape[1]), np.float32)
         tarl[:n] = tarl_features
-        tarl = jnp.asarray(tarl)
+        # bf16 wire format on TPU (utils/transfer.py): feature uploads
+        # dominate tunnel time; device-side math stays f32
+        tarl = put_features(tarl)
     if _use_pallas(cfg.use_pallas) and not weights.get("gamma") \
             and not weights.get("beta"):
         A = affinity_pallas(jnp.asarray(padded), jnp.asarray(valid),

@@ -138,9 +138,13 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
     # trips (which dominate and vary wildly on the tunneled dev chip).
     # A/B'd against one vmapped Pallas call over the stack: the batched
     # kernel serializes its grid and measured slower.
+    # Features ship as bf16 (utils/transfer.py): the tunnel link moves
+    # ~17 MB/s and the 25 MB f32 TARL upload was costing as much as the
+    # entire solve; coordinates stay f32.
+    from autoinst_tpu.utils.transfer import put_features
     t0 = time.perf_counter()
     pts_all = jnp.asarray(np.stack([p for p, _ in chunks]))
-    fts_all = jnp.asarray(np.stack([f for _, f in chunks]))
+    fts_all = put_features(np.stack([f for _, f in chunks]))
     pts_all.block_until_ready()
     fts_all.block_until_ready()
     t1 = time.perf_counter()
