@@ -381,14 +381,21 @@ def sample_point_pool(rng, targets, cfg: MaskPLSConfig, p_total: int):
     pool_size = min(cfg.num_points, p_total)
 
     def one(key, tm, tvalid, nvalid):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         per_mask = min(cfg.n_mask_pts, max(pool_size // max(t, 1), 1))
         # sample per-mask points via inverse cdf over the mask distribution
         cdf = jnp.cumsum(tm, axis=1)
         tot = cdf[:, -1:]
         u = jax.random.uniform(k1, (t, per_mask)) * jnp.maximum(tot, 1.0)
         idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu))(cdf, u)
-        idx = jnp.where((tvalid[:, None]) & (tot > 0), idx, 0)
+        # invalid / empty target slots fall back to uniform valid points
+        # (NOT index 0: with T static at 40 and ~10 real masks, zeroing
+        # would flood half the pool with copies of one point, diluting and
+        # skewing every mask/dice gradient -- the reference pool is
+        # n_pts-per-real-mask + uniform fill, utils/misc.py:38-52)
+        uni = jnp.floor(jax.random.uniform(k3, (t, per_mask))
+                        * nvalid).astype(idx.dtype)
+        idx = jnp.where((tvalid[:, None]) & (tot > 0), idx, uni)
         m_idx = idx.reshape(-1)[:pool_size]
         fill = jnp.floor(jax.random.uniform(
             k2, (pool_size - m_idx.shape[0],)) * nvalid).astype(jnp.int32)

@@ -22,7 +22,13 @@ class PseudoDataset:
     def __init__(self, data_path: str, min_points: int = 100,
                  sub_pts: int = 80000, subsample: bool = True,
                  aug: bool = False, split: str = "train", seed: int = 0):
-        self.files = []
+        # accept either the export root (sequence subdirectories of .npz
+        # chunks, the GEN_SELF_TRAIN_DATA layout) or a leaf directory of
+        # .npz files directly (round-3 chain regression: passing train/0
+        # instead of train/ found zero chunks and crashed the trainer)
+        self.files = [os.path.join(data_path, fn)
+                      for fn in sorted(os.listdir(data_path))
+                      if fn.endswith(".npz")]
         for folder in sorted(os.listdir(data_path)):
             sub = os.path.join(data_path, folder)
             if not os.path.isdir(sub):

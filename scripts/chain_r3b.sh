@@ -26,7 +26,7 @@ python scripts/relabel_from_merged.py \
     >> "$L" 2>&1
 
 log "phase train (merged targets, 400 epochs, no-aug, 8 draws)"
-python scripts/selftrain_demo.py train --data .selftrain/out_merged24/train/0 \
+python scripts/selftrain_demo.py train --data .selftrain/out_merged24/train \
     --ckpt-name ckpts_merged --no-aug --cache-batches 8 --eos-coef 0.1 \
     --batch-acc 1 --lr 1e-4 --epochs 400 >> "$L" 2>&1
 

@@ -52,7 +52,8 @@ def main():
 
     from autoinst_tpu.utils.pointcloud import PointCloud
     model = RefinerModel(weights_path=weights, **kwargs)
-    files = sorted(glob.glob(os.path.join(args.data, "*", "*.npz")))
+    files = sorted(glob.glob(os.path.join(args.data, "*", "*.npz"))
+                   or glob.glob(os.path.join(args.data, "*.npz")))
     step = max(len(files) // args.n, 1)
     for path in files[::step][:args.n]:
         d = np.load(path)

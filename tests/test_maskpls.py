@@ -186,6 +186,44 @@ class TestPseudoDataset:
         assert targets["masks"].shape == (1, 8, 640)
         assert targets["valid"].sum() == 3
 
+    def test_loads_leaf_npz_directory(self, tmp_path):
+        # round-3 chain regression: the relabel output's leaf dir
+        # (train/0, a flat folder of .npz) must load directly too
+        scene = tiny_scene(4)
+        np.savez(tmp_path / "000000.npz", pts=scene["xyz"],
+                 ncut_labels=scene["ins_labels"])
+        np.savez(tmp_path / "000002.npz", pts=scene["xyz"],
+                 ncut_labels=scene["ins_labels"])
+        ds = PseudoDataset(str(tmp_path), min_points=50)
+        assert len(ds) == 2
+        assert ds[0]["masks"].shape[0] == 3
+
+
+def test_point_pool_not_flooded_by_invalid_slots():
+    """Invalid target slots must fall back to uniform fill, not point 0.
+
+    With t_max 40 and ~10 real masks the old behavior put ~half the pool
+    on index 0, diluting every mask/dice gradient (suspected cause of the
+    round-3 diffuse-sigmoid stall)."""
+    from autoinst_tpu.models.maskpls.model import sample_point_pool
+    t_max, n = 8, 640
+    cfg = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32)
+    masks = np.zeros((1, t_max, n), np.float32)
+    masks[0, 0, 100:200] = 1.0
+    masks[0, 1, 300:400] = 1.0          # 2 valid of 8 slots
+    valid = np.zeros((1, t_max), bool)
+    valid[0, :2] = True
+    targets = {"masks": jnp.asarray(masks), "valid": jnp.asarray(valid),
+               "point_valid": jnp.ones((1, n), bool)}
+    pool = np.asarray(sample_point_pool(jax.random.PRNGKey(0), targets,
+                                        cfg, n))
+    frac_zero = (pool == 0).mean()
+    assert frac_zero < 0.05, f"pool flooded with point 0: {frac_zero:.2%}"
+    # each valid mask is represented by its own points
+    in_m0 = ((pool >= 100) & (pool < 200)).mean()
+    in_m1 = ((pool >= 300) & (pool < 400)).mean()
+    assert in_m0 > 0.1 and in_m1 > 0.1
+
 
 class TestMixedPrecision:
     def test_bf16_backbone_close_to_f32(self):
