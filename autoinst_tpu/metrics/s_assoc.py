@@ -60,4 +60,10 @@ class SAssocEvaluator:
                 outer += float(inner) / float(gt_area)
             if gts:
                 scores.append(outer / len(gts))
+        # no batch had a surviving GT instance: return 0.0 instead of nan.
+        # The reference crashes here (modified_LSTQ.py:80 mean of []); we
+        # follow InstanceMetrics' robustness choice (instance_metrics.py
+        # zero-division guards) for consistency (VERDICT r3 #8).
+        if not scores:
+            return 0.0
         return float(np.average(scores))

@@ -141,6 +141,16 @@ class TestSAssoc:
         assert ev.get_eval() == pytest.approx(
             oracle_s_assoc(batches, min_points=100), abs=0, rel=0)
 
+    def test_empty_batches_return_zero(self):
+        # all GT instances below min_points: the reference crashes
+        # (modified_LSTQ.py:80 np.mean of []); we return 0.0 to match
+        # InstanceMetrics' robustness choice (VERDICT r3 #8)
+        ev = SAssocEvaluator(min_points=1000)
+        pred = np.ones(50, np.int64)
+        gt = np.ones(50, np.int64)
+        ev.add_batch(pred, gt)
+        assert ev.get_eval() == 0.0
+
 
 class TestInstanceMetrics:
     @pytest.mark.parametrize("seed", [0, 1, 2])
