@@ -390,6 +390,50 @@ STATS = {"rounds": 0, "solves_per_tier": {}, "overflow": 0,
          "host_fallbacks": 0, "calls": 0}
 
 
+def recursive_ncut_device_async(W: jax.Array, num_valids, T: float = 0.03,
+                                split_lim: float = 0.01, iters: int = 240,
+                                seed_cap: int = _SEED_CAP):
+    """Dispatch the device worklist WITHOUT blocking on its results.
+
+    Returns an opaque handle for finish_ncut_device. JAX dispatch is
+    asynchronous, so the caller can upload/build the NEXT chunk batch over
+    the (slow, tunneled) host-device link while this batch's while_loop
+    runs on chip -- the double-buffering VERDICT r3 #5 asked for. The
+    oversized-chunk host fallback is synchronous (it runs on host anyway).
+    """
+    num_valids = np.atleast_1d(np.asarray(num_valids, np.int32))
+    STATS["calls"] += 1
+    if W.shape[1] > _TIERS[-1][0]:
+        from autoinst_tpu.ncuts.solver import recursive_ncut_batch
+        STATS["host_fallbacks"] += 1
+        labels = recursive_ncut_batch(W, num_valids, T=T,
+                                      split_lim=split_lim)
+        return ("sync", labels)
+    tiers = _tiers_for(W.shape[1])
+    out = _device_ncut(W, jnp.asarray(num_valids), float(T),
+                       float(split_lim), int(iters), tiers,
+                       seed_cap=int(seed_cap))
+    return ("async", out, tiers, num_valids)
+
+
+def finish_ncut_device(handle) -> list[np.ndarray]:
+    """Block on a recursive_ncut_device_async handle; fills STATS and
+    returns the per-chunk label arrays."""
+    if handle[0] == "sync":
+        return handle[1]
+    (labels, counters, overflow, rounds, solves), tiers, num_valids = \
+        handle[1], handle[2], handle[3]
+    STATS["rounds"] = int(rounds)
+    STATS["solves_per_tier"] = {int(w): int(s) for (w, _, _), s
+                                in zip(tiers, np.asarray(solves))}
+    STATS["overflow"] = int(overflow)
+    if int(overflow) > 0:
+        raise RuntimeError(f"device NCut queue overflow ({int(overflow)} "
+                           f"nodes); raise tier capacities")
+    labels = np.asarray(labels)
+    return [labels[c, :n] for c, n in enumerate(num_valids)]
+
+
 def recursive_ncut_device(W: jax.Array, num_valids, T: float = 0.03,
                           split_lim: float = 0.01, iters: int = 240,
                           seed_cap: int = _SEED_CAP) -> list[np.ndarray]:
@@ -400,22 +444,6 @@ def recursive_ncut_device(W: jax.Array, num_valids, T: float = 0.03,
     worklist (solver.recursive_ncut_batch) instead of raising -- rare
     post-downsample, but a real map must never die on one outsized chunk.
     Run statistics land in STATS (rounds / solves per tier / overflow)."""
-    num_valids = np.atleast_1d(np.asarray(num_valids, np.int32))
-    STATS["calls"] += 1
-    if W.shape[1] > _TIERS[-1][0]:
-        from autoinst_tpu.ncuts.solver import recursive_ncut_batch
-        STATS["host_fallbacks"] += 1
-        return recursive_ncut_batch(W, num_valids, T=T, split_lim=split_lim)
-    tiers = _tiers_for(W.shape[1])
-    labels, counters, overflow, rounds, solves = _device_ncut(
-        W, jnp.asarray(num_valids), float(T), float(split_lim), int(iters),
-        tiers, seed_cap=int(seed_cap))
-    STATS["rounds"] = int(rounds)
-    STATS["solves_per_tier"] = {int(w): int(s) for (w, _, _), s
-                                in zip(tiers, np.asarray(solves))}
-    STATS["overflow"] = int(overflow)
-    if int(overflow) > 0:
-        raise RuntimeError(f"device NCut queue overflow ({int(overflow)} "
-                           f"nodes); raise tier capacities")
-    labels = np.asarray(labels)
-    return [labels[c, :n] for c, n in enumerate(num_valids)]
+    return finish_ncut_device(recursive_ncut_device_async(
+        W, num_valids, T=T, split_lim=split_lim, iters=iters,
+        seed_cap=seed_cap))

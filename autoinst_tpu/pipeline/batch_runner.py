@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from autoinst_tpu.ncuts.device_solver import (device_tier_cap,
-                                              recursive_ncut_device)
+                                              finish_ncut_device,
+                                              recursive_ncut_device_async)
 from autoinst_tpu.ncuts.solver import recursive_ncut_batch
 from autoinst_tpu.pipeline.chunking import (get_indices_feature_reprojection,
                                             statistical_inlier_indices,
@@ -39,10 +40,8 @@ def ncuts_chunks_batched(dataset, chunk_downsample_dict, pcd_nonground_minor,
     weights = cfg.config
     n_chunks = len(chunk_downsample_dict["center_ids"])
 
-    # phase 1: affinities for every chunk (device, sequential Pallas calls)
-    As, nums = [], []
-    max_pad = 0
-    for sequence in range(n_chunks):
+    def affinity_inputs(sequence):
+        """Host-side inputs for one chunk: points + reprojected TARL."""
         chunk_major = chunk_downsample_dict[
             "pcd_nonground_chunks_major_downsampling"][sequence]
         points_major = np.asarray(chunk_major.points, np.float32)
@@ -58,12 +57,16 @@ def ncuts_chunks_batched(dataset, chunk_downsample_dict, pcd_nonground_minor,
                 dataset, chunk_major, T_pcd, center_position, tarl_idx,
                 cfg.chunk_size, search_radius=cfg.major_voxel_size / 2.0,
                 norm=cfg.tarl_norm)
-        A, n = chunk_affinity(points_major, cfg, tarl_features)
-        As.append(A)
-        nums.append(n)
-        max_pad = max(max_pad, A.shape[0])
+        return points_major, tarl_features
 
-    # phase 2: one (grouped) device dispatch for all chunk graphs
+    # padded affinity widths are a pure function of chunk point counts
+    # (ncuts_chunk._pad_multiple), so grouping needs NO device work upfront
+    tile = cfg.affinity_tile
+    sizes = [len(chunk_downsample_dict[
+        "pcd_nonground_chunks_major_downsampling"][s].points)
+        for s in range(n_chunks)]
+    widths = [max(((n + tile - 1) // tile) * tile, tile) for n in sizes]
+
     labels_all = [None] * n_chunks
     on_device = (jax.default_backend() == "tpu" and getattr(
         cfg, "ncut_backend", "auto") in ("auto", "device"))
@@ -73,45 +76,79 @@ def ncuts_chunks_batched(dataset, chunk_downsample_dict, pcd_nonground_minor,
     # chunks individually on the host and keep the device batch tight.
     tier_cap = device_tier_cap()
     oversized = [i for i in range(n_chunks)
-                 if on_device and As[i].shape[0] > tier_cap]
+                 if on_device and widths[i] > tier_cap]
     for i in oversized:
-        print(f"[batch_runner] chunk {i} has {As[i].shape[0]} nodes "
+        print(f"[batch_runner] chunk {i} has {widths[i]} nodes "
               f"(> device tier cap {tier_cap}); host-solver fallback",
               flush=True)
+        points_major, tarl_features = affinity_inputs(i)
+        A, n = chunk_affinity(points_major, cfg, tarl_features)
         labels_all[i] = recursive_ncut_batch(
-            jnp.asarray(As[i])[None], [nums[i]],
+            jnp.asarray(A)[None], [n],
             T=weights["T"], split_lim=cfg.split_lim,
             method=cfg.ncut_method)[0]
     remaining = [i for i in range(n_chunks) if i not in set(oversized)]
-    max_pad = max((As[i].shape[0] for i in remaining), default=0)
-    order = sorted(remaining, key=lambda i: As[i].shape[0])
-    for lo in range(0, len(order), group):
-        idxs = order[lo:lo + group]
-        width = max(As[i].shape[0] for i in idxs)
-        if on_device:
-            # uniform width across groups: ONE compiled solver executable
-            # per map run. The axon TPU transport cannot reliably re-execute
-            # a large executable once a later one has been compiled in the
-            # same process (CLAUDE.md), and remote-compiled programs are not
-            # covered by the persistent cache -- per-group widths would
-            # compile a fresh multi-minute executable per group.
-            width = max_pad
+    max_pad = max((widths[i] for i in remaining), default=0)
+    order = sorted(remaining, key=lambda i: widths[i])
+    groups = [order[lo:lo + group] for lo in range(0, len(order), group)]
+
+    def build_group(idxs):
+        """Affinities for one chunk group, padded to the group stack.
+
+        On device the per-chunk [w_i, w_i] affinity is zero-padded to the
+        uniform width ON DEVICE (jnp.pad of a device-resident array) --
+        round-tripping it through np.asarray cost 2x the full matrix over
+        the ~17 MB/s tunnel per chunk, which dwarfed the solve itself."""
+        width = max_pad if on_device else max(widths[i] for i in idxs)
+        # uniform width + row count across groups: ONE compiled solver
+        # executable per map run. The axon TPU transport cannot reliably
+        # re-execute a large executable once a later one has been compiled
+        # in the same process (CLAUDE.md), and remote-compiled programs are
+        # not covered by the persistent cache -- per-group shapes would
+        # compile a fresh multi-minute executable per group.
         n_rows = group if (on_device and len(order) > group) else len(idxs)
-        stack = np.zeros((n_rows, width, width), np.float32)
-        for j, i in enumerate(idxs):
-            a = np.asarray(As[i])
-            stack[j, :a.shape[0], :a.shape[1]] = a
-        row_nums = [nums[i] for i in idxs]
+        rows, row_nums = [], []
+        for i in idxs:
+            points_major, tarl_features = affinity_inputs(i)
+            A, n = chunk_affinity(points_major, cfg, tarl_features)
+            row_nums.append(n)
+            if on_device:
+                rows.append(jnp.pad(A, ((0, width - A.shape[0]),
+                                        (0, width - A.shape[1]))))
+            else:
+                a = np.zeros((width, width), np.float32)
+                aa = np.asarray(A)
+                a[:aa.shape[0], :aa.shape[1]] = aa
+                rows.append(a)
         # pad the last partial group with trivial 1-node graphs (same batch
         # signature -> same executable as the full groups)
         row_nums += [1] * (n_rows - len(idxs))
         if on_device:
-            labs = recursive_ncut_device(
-                jnp.asarray(stack), row_nums,
-                T=weights["T"], split_lim=cfg.split_lim)
+            rows += [jnp.zeros((width, width), jnp.float32)
+                     ] * (n_rows - len(idxs))
+            stack = jnp.stack(rows)
+        else:
+            rows += [np.zeros((width, width), np.float32)
+                     ] * (n_rows - len(idxs))
+            stack = jnp.asarray(np.stack(rows))
+        return stack, row_nums
+
+    # phase 2: grouped device dispatches, double-buffered -- group k+1's
+    # host work (TARL reprojection) and uploads happen while group k's
+    # worklist runs on chip (VERDICT r3 #5)
+    nxt = build_group(groups[0]) if groups else None
+    for gi, idxs in enumerate(groups):
+        stack, row_nums = nxt
+        handle = None
+        if on_device:
+            handle = recursive_ncut_device_async(
+                stack, row_nums, T=weights["T"], split_lim=cfg.split_lim)
+        nxt = build_group(groups[gi + 1]) if gi + 1 < len(groups) else None
+        if on_device:
+            labs = finish_ncut_device(handle)
         else:
             labs = recursive_ncut_batch(
-                jnp.asarray(stack), row_nums,
+                stack, row_nums,
                 T=weights["T"], split_lim=cfg.split_lim,
                 method=cfg.ncut_method)
         for j, i in enumerate(idxs):
