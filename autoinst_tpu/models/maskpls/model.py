@@ -541,6 +541,14 @@ def train_step(state, batch, targets, rng, cfg: MaskPLSConfig):
 
     (total, (parts, new_stats)), grads = jax.value_and_grad(
         loss_fn, has_aux=True)(state.params)
+    # pre-clip global grad norm: tells whether cfg.grad_clip (0.5, the
+    # reference Trainer value) is throttling the effective step size
+    parts = {**parts, "grad_norm": optax_global_norm(grads)}
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
     return state, total, parts
+
+
+def optax_global_norm(tree):
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x))
+                        for x in jax.tree.leaves(tree)))

@@ -73,8 +73,14 @@ def _center(points: jax.Array, valid: jax.Array) -> jax.Array:
     return (points - mean) * v[:, None]
 
 
-def _affinity_kernel(alpha, theta, prox, with_tarl,
-                     pi_ref, pj_ref, mi_ref, mj_ref, ti_ref, tj_ref, out_ref):
+def _affinity_kernel(alpha, theta, gamma, beta, prox, with_tarl, n_dino,
+                     with_sam, *refs):
+    """refs: pi, pj, mi, mj, ti, tj, (d_i, d_j) x n_dino, [sam], out."""
+    pi_ref, pj_ref, mi_ref, mj_ref, ti_ref, tj_ref = refs[:6]
+    dino_refs = refs[6:6 + 2 * n_dino]
+    sam_ref = refs[6 + 2 * n_dino] if with_sam else None
+    out_ref = refs[-1]
+
     d = jnp.sqrt(_tile_sq_dists_xyz(pi_ref[:], pj_ref[:]))
     expo = alpha * d
     if with_tarl:
@@ -84,25 +90,45 @@ def _affinity_kernel(alpha, theta, prox, with_tarl,
         has_i = mi_ref[:, 1][:, None]
         has_j = mj_ref[:, 1][None, :]
         expo = expo + theta * dt * has_i * has_j
+    for c in range(n_dino):
+        # per-camera DINO feature distance plane (reference
+        # ncuts_utils.py:125-133): same MXU contraction as TARL
+        df = jnp.sqrt(_tile_sq_dists(dino_refs[2 * c][:],
+                                     dino_refs[2 * c + 1][:]))
+        expo = expo + gamma * df
+    if with_sam:
+        # precomputed SAM vote-distance plane, summed over cameras
+        # (sam_label_distance; reference image_utils.py:64-89)
+        expo = expo + beta * sam_ref[:]
     a = jnp.where(d <= prox, jnp.exp(-expo), 0.0)
     vi = mi_ref[:, 0][:, None]
     vj = mj_ref[:, 0][None, :]
     out_ref[:] = a * vi * vj
 
 
-@partial(jax.jit, static_argnames=("alpha", "theta", "proximity", "tile",
-                                   "interpret"))
+@partial(jax.jit, static_argnames=("alpha", "theta", "gamma", "beta",
+                                   "proximity", "tile", "interpret"))
 def affinity_pallas(points: jax.Array, valid: jax.Array,
                     tarl: jax.Array | None = None,
                     tarl_has: jax.Array | None = None,
+                    dino_terms: tuple = (),
+                    sam_dist: jax.Array | None = None,
                     alpha: float = 1.0, theta: float = 0.0,
+                    gamma: float = 0.0, beta: float = 0.0,
                     proximity: float = 1.0, tile: int = _TILE,
                     interpret: bool = False) -> jax.Array:
-    """Fused spatial(+TARL) affinity. N must be a multiple of `tile`."""
+    """Fused spatial(+TARL)(+DINO)(+SAM) affinity; one pass over HBM.
+
+    N must be a multiple of `tile`. dino_terms: per-camera (N, F) feature
+    arrays, each adding exp(-gamma * d_f) (fused as extra MXU planes).
+    sam_dist: (N, N) SAM vote distance, pre-summed over cameras, adding
+    exp(-beta * sam_dist) (fused as a (tile, tile) input plane)."""
     n = points.shape[0]
     if n % tile:
         raise ValueError(f"N={n} not a multiple of tile={tile}")
     with_tarl = tarl is not None and theta != 0.0
+    dino_terms = tuple(dino_terms) if gamma != 0.0 else ()
+    with_sam = sam_dist is not None and beta != 0.0
 
     p = _center(points[:, :3].astype(jnp.float32), valid)
     p = _pad_cols(p, _XYZ_PAD)
@@ -117,26 +143,49 @@ def affinity_pallas(points: jax.Array, valid: jax.Array,
     m = jnp.zeros((n, 128), jnp.float32)
     m = m.at[:, 0].set(valid.astype(jnp.float32))
     m = m.at[:, 1].set(tarl_has.astype(jnp.float32))
+    dinos = [_pad_cols(f.astype(jnp.float32), -(-f.shape[1] // 128) * 128)
+             for f in dino_terms]
 
     grid = (n // tile, n // tile)
-    row = pl.BlockSpec((tile, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((tile, 128), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+
+    def row(width=128):
+        return pl.BlockSpec((tile, width), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def col(width=128):
+        return pl.BlockSpec((tile, width), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [row(), col(), row(), col(), row(), col()]
+    operands = [p, p, m, m, t, t]
+    dino_cols = 0
+    for f in dinos:
+        in_specs += [row(f.shape[1]), col(f.shape[1])]
+        operands += [f, f]
+        dino_cols += f.shape[1]
+    if with_sam:
+        in_specs.append(pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                                     memory_space=pltpu.VMEM))
+        operands.append(sam_dist.astype(jnp.float32))
     kernel = partial(_affinity_kernel, float(alpha), float(theta),
-                     float(proximity), with_tarl)
+                     float(gamma), float(beta), float(proximity), with_tarl,
+                     len(dinos), with_sam)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
         grid=grid,
-        in_specs=[row, col, row, col, row, col],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * n * (2 * 128 + 8),
-            bytes_accessed=6 * n * 128 * 4 + n * n * 4,
+            flops=2 * n * n * (2 * (128 + dino_cols) + 8
+                               + (2 if with_sam else 0)),
+            bytes_accessed=(6 + 2 * len(dinos)) * n * 128 * 4
+            + (2 if with_sam else 1) * n * n * 4,
             transcendentals=n * n,
         ),
         interpret=interpret,
-    )(p, p, m, m, t, t)
+    )(*operands)
 
 
 def affinity_xla(points: jax.Array, valid: jax.Array,

@@ -135,7 +135,7 @@ def phase_baseline(work):
 
 def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
                 ckpt_name="ckpts", eos_coef=1.0, cpu=False, batch_acc=4,
-                lr=1e-4, reset_opt=False):
+                lr=1e-4, reset_opt=False, grad_clip=0.5):
     # real TPU by default; the container pins the axon platform, so a CPU
     # run (tunnel outage hedge) must force it in-process -- the
     # JAX_PLATFORMS env var alone is overridden (CLAUDE.md)
@@ -161,7 +161,7 @@ def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
           min_points=100, subsample=30000, cache_batches=cache_batches,
           aug=aug, cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40,
                                      eos_coef=eos_coef, batch_acc=batch_acc,
-                                     lr=lr))
+                                     lr=lr, grad_clip=grad_clip))
 
 
 def phase_eval(work, ckpt_name="ckpts"):
@@ -211,6 +211,10 @@ def main():
                     help="gradient accumulation steps (1 = 4x more "
                          "optimizer updates per epoch at same wall time)")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--grad-clip", type=float, default=0.5,
+                    help="global-norm gradient clip (reference Trainer "
+                         "gradient_clip_val 0.5; at batch 1 + lr 1e-4 the "
+                         "0.5 clip can throttle memorization)")
     ap.add_argument("--reset-opt", action="store_true",
                     help="resume params only (fresh optimizer; required "
                          "when --batch-acc changes across segments)")
@@ -233,7 +237,7 @@ def main():
                     cache_batches=args.cache_batches, aug=not args.no_aug,
                     ckpt_name=args.ckpt_name, eos_coef=args.eos_coef,
                     cpu=args.cpu, batch_acc=args.batch_acc, lr=args.lr,
-                    reset_opt=args.reset_opt)
+                    reset_opt=args.reset_opt, grad_clip=args.grad_clip)
     elif args.phase == "eval":
         phase_eval(args.work, ckpt_name=args.ckpt_name)
 
