@@ -53,6 +53,15 @@ class MaskPLSConfig:
     lr: float = 1e-4
     grad_clip: float = 0.5
     batch_acc: int = 4
+    # LR schedule (deviation: the reference ships a bare constant-LR AdamW,
+    # mask_model.py:107-109, and its STEP/DECAY config is neutralized with
+    # DECAY 1.0. Constant LR destabilizes late memorization runs -- the
+    # round-4 overfit probe reached dice ~0 then repeatedly lost masks to
+    # assignment flips. warmup+cosine settles the endpoint; 0 = parity.)
+    lr_warmup: int = 0            # linear warmup steps
+    lr_total_steps: int = 0       # cosine horizon in optimizer steps;
+    # 0 = constant LR (reference parity)
+    lr_min_frac: float = 0.01     # floor as a fraction of peak lr
     remat: bool = False          # rematerialize backbone conv blocks
     # (jax.checkpoint) to fit large point budgets in HBM
     knn_mode: str = "grid"       # voxel->point kNN-up: "grid" | "exact"
@@ -498,6 +507,22 @@ def _sigmoid_np(x):
 # ------------------------------------------------------------ train state
 
 
+def lr_schedule(cfg: MaskPLSConfig):
+    """Constant LR (reference parity) or linear-warmup + cosine decay.
+
+    Returns either a float or an optax schedule; also usable standalone to
+    report the current LR for telemetry (counts are optimizer steps, i.e.
+    post-accumulation updates when cfg.batch_acc > 1)."""
+    import optax
+    if cfg.lr_total_steps <= 0:
+        return cfg.lr
+    return optax.warmup_cosine_decay_schedule(
+        init_value=cfg.lr * cfg.lr_min_frac, peak_value=cfg.lr,
+        warmup_steps=max(cfg.lr_warmup, 1),
+        decay_steps=max(cfg.lr_total_steps, cfg.lr_warmup + 1),
+        end_value=cfg.lr * cfg.lr_min_frac)
+
+
 def create_train_state(rng, cfg: MaskPLSConfig, example_batch):
     import optax
     from flax.training import train_state
@@ -509,7 +534,7 @@ def create_train_state(rng, cfg: MaskPLSConfig, example_batch):
     variables = model.init(rng, example_batch, train=False)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
-        optax.adamw(cfg.lr),
+        optax.adamw(lr_schedule(cfg)),
     )
     if cfg.batch_acc > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.batch_acc)

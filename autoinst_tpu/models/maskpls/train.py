@@ -130,6 +130,14 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
             if out is not None:
                 yield out
 
+    if cfg.lr_total_steps < 0:
+        # auto horizon: cosine over this run's optimizer steps
+        import dataclasses
+        total = max(epochs * len(dataset) // max(cfg.batch_acc, 1), 1)
+        cfg = dataclasses.replace(cfg, lr_total_steps=total)
+        print(f"lr schedule: warmup {cfg.lr_warmup} + cosine over "
+              f"{total} steps (peak {cfg.lr})")
+
     example = next(batches())
     state = create_train_state(jax.random.PRNGKey(seed), cfg, example[0])
     if resume and reset_opt:
@@ -170,9 +178,13 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
         n_steps = max(len(losses), 1)
         # JSONL telemetry (replaces the reference's wandb/TensorBoard role,
         # train_model.py:40-45): total + per-term means, lr, s/step
+        from autoinst_tpu.models.maskpls.model import lr_schedule
+        sched = lr_schedule(cfg)
+        cur_lr = sched if isinstance(sched, float) else float(
+            sched(step // max(cfg.batch_acc, 1)))
         entry = {"epoch": epoch, "step": step,
                  "loss": float(np.mean(losses)) if losses else None,
-                 "secs": secs, "s_per_step": secs / n_steps, "lr": cfg.lr,
+                 "secs": secs, "s_per_step": secs / n_steps, "lr": cur_lr,
                  **{k: v / n_steps for k, v in sorted(part_sums.items())}}
         with open(log_path, "a") as fh:
             fh.write(json.dumps(entry) + "\n")

@@ -1,34 +1,56 @@
 #!/bin/bash
-# Round-3 selftrain regeneration chain (the VM restart wiped .selftrain/).
-# Reproduces the merged-relabel memorization run end-to-end:
+# Selftrain regeneration chain: one-command rebuild of the merged-relabel
+# self-training run end-to-end:
 #   gen -> device export (overlap 24) -> pseudo-oracle merged map ->
-#   relabel -> 400-epoch TPU train -> refined eval.
-# Logs to .selftrain/chain.log; each phase is resumable via its artifacts.
+#   relabel -> schedule-trained 240-epoch TPU train -> refined eval.
+# Logs to .selftrain/chain.log. Each phase is IDEMPOTENT: it is skipped
+# when its output artifact already exists, so the chain resumes after any
+# interruption (and a clean `rm -rf .selftrain` rebuilds everything).
 set -e
 cd /root/repo
 mkdir -p .selftrain
 L=.selftrain/chain.log
 log() { echo "[chain $(date +%H:%M:%S)] $*" >> "$L"; }
 
-log "phase gen"
-python scripts/selftrain_demo.py gen >> "$L" 2>&1
+if [ ! -f .selftrain/kitti/poses/00.txt ]; then
+    log "phase gen"
+    python scripts/selftrain_demo.py gen >> "$L" 2>&1
+else
+    log "phase gen: map exists, skipping"
+fi
 
-log "phase export (device, overlap 24)"
-python scripts/selftrain_demo.py export --device --overlap 24 \
-    --out out_export24 >> "$L" 2>&1
+if ! ls .selftrain/out_export24/train/0/*.npz >/dev/null 2>&1; then
+    log "phase export (device, overlap 24)"
+    python scripts/selftrain_demo.py export --device --overlap 24 \
+        --out out_export24 >> "$L" 2>&1
+else
+    log "phase export: chunks exist, skipping"
+fi
 
-log "phase pseudoracle (merged map)"
-python scripts/eval_oracle.py --source pseudo --tag pseudoracle >> "$L" 2>&1
+if [ ! -f .selftrain/out_refined_pseudoracle/0/maskpls_tarl_spatial_0_0.pcd ]; then
+    log "phase pseudoracle (merged map)"
+    python scripts/eval_oracle.py --source pseudo --tag pseudoracle >> "$L" 2>&1
+else
+    log "phase pseudoracle: merged map exists, skipping"
+fi
 
-log "phase relabel"
-python scripts/relabel_from_merged.py \
-    --merged .selftrain/out_refined_pseudoracle/0/maskpls_tarl_spatial_0_0.pcd \
-    >> "$L" 2>&1
+if ! ls .selftrain/out_merged24/train/0/*.npz >/dev/null 2>&1; then
+    log "phase relabel"
+    python scripts/relabel_from_merged.py \
+        --merged .selftrain/out_refined_pseudoracle/0/maskpls_tarl_spatial_0_0.pcd \
+        >> "$L" 2>&1
+else
+    log "phase relabel: relabeled chunks exist, skipping"
+fi
 
-log "phase train (merged targets, 400 epochs, no-aug, 8 draws)"
-python scripts/selftrain_demo.py train --data .selftrain/out_merged24/train \
-    --ckpt-name ckpts_merged --no-aug --cache-batches 8 --eos-coef 0.1 \
-    --batch-acc 1 --lr 1e-4 --epochs 400 >> "$L" 2>&1
+if [ ! -f .selftrain/ckpts_merged/maskpls_weights.msgpack ]; then
+    log "phase train (merged targets, 240 epochs, no-aug, 8 draws, cosine)"
+    python scripts/selftrain_demo.py train --data .selftrain/out_merged24/train \
+        --ckpt-name ckpts_merged --no-aug --cache-batches 8 --eos-coef 0.1 \
+        --batch-acc 1 --lr 5e-4 --schedule --warmup 100 --epochs 240 >> "$L" 2>&1
+else
+    log "phase train: weights exist, skipping"
+fi
 
 log "phase eval"
 python scripts/selftrain_demo.py eval --ckpt-name ckpts_merged >> "$L" 2>&1

@@ -36,13 +36,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def phase_gen(work):
+def _gen_map(root, seed):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from synthetic_kitti import generate_sequence
-    root = os.path.join(work, "kitti")
     if os.path.exists(os.path.join(root, "poses", "00.txt")):
-        log("map already generated")
+        log("map already generated:", root)
         return
     # object_span spreads objects along the WHOLE trajectory: without it
     # (round-2 map) objects sat in x in [6,36] of a 120 m drive, 3 of 4
@@ -55,12 +54,16 @@ def phase_gen(work):
     # the real failure mode (spatial cuts merge ~1.2 m neighbors).
     generate_sequence(
         root, n_scans=N_SCANS, step=STEP, points_per_object=700,
-        ground_points=9000, n_objects=20, seed=SEED, varied_objects=True,
+        ground_points=9000, n_objects=20, seed=seed, varied_objects=True,
         adjacent_pairs=10, n_clutter=50, ring_ground=True,
         density_falloff=True, object_span=N_SCANS * STEP,
         paired_tarl=True, tarl_noise=0.08, pair_gap=(0.35, 1.0),
         n_large=8)
     log("map written to", root)
+
+
+def phase_gen(work):
+    _gen_map(os.path.join(work, "kitti"), SEED)
 
 
 def _factory(root):
@@ -69,11 +72,11 @@ def _factory(root):
         str(root), seq, ncuts_mode=True)
 
 
-def _base_cfg(work, out_name, **kw):
+def _base_cfg(work, out_name, root=None, **kw):
     import numpy as np
     from autoinst_tpu.pipeline.config import (PipelineConfig,
                                               config_tarl_spatial)
-    root = os.path.join(work, "kitti")
+    root = root or os.path.join(work, "kitti")
     cfg = PipelineConfig(
         dataset_path=root, config=dict(config_tarl_spatial), seqs=(0,),
         chunk_size=np.array([25, 25, 25]), metrics_min_points=200,
@@ -135,7 +138,8 @@ def phase_baseline(work):
 
 def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
                 ckpt_name="ckpts", eos_coef=1.0, cpu=False, batch_acc=4,
-                lr=1e-4, reset_opt=False, grad_clip=0.5):
+                lr=1e-4, reset_opt=False, grad_clip=0.5, schedule=False,
+                warmup=100):
     # real TPU by default; the container pins the axon platform, so a CPU
     # run (tunnel outage hedge) must force it in-process -- the
     # JAX_PLATFORMS env var alone is overridden (CLAUDE.md)
@@ -161,10 +165,13 @@ def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
           min_points=100, subsample=30000, cache_batches=cache_batches,
           aug=aug, cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40,
                                      eos_coef=eos_coef, batch_acc=batch_acc,
-                                     lr=lr, grad_clip=grad_clip))
+                                     lr=lr, grad_clip=grad_clip,
+                                     lr_total_steps=-1 if schedule else 0,
+                                     lr_warmup=warmup))
 
 
-def phase_eval(work, ckpt_name="ckpts"):
+def _refined_eval(work, ckpt_name, root, out_name, json_name,
+                  baseline_json):
     import jax
     jax.config.update("jax_platforms", "cpu")
     from autoinst_tpu.models.maskpls.model import MaskPLSConfig
@@ -177,30 +184,66 @@ def phase_eval(work, ckpt_name="ckpts"):
     if os.path.exists(widths_file):
         with open(widths_file) as fh:
             kwargs["level_widths"] = json.load(fh)
-    cfg, factory = _base_cfg(work, "out_refined",
+    cfg, factory = _base_cfg(work, out_name, root=root,
                              maskpls_weights=weights,
                              maskpls_kwargs=kwargs)
     cfg.config = dict(config_maskpls_tarl_spatial)
     cfg.overlap = 3
     results = run(cfg, dataset_factory=factory)
     stats = results[0]["sequence"]
-    path = os.path.join(work, "refined.json")
+    path = os.path.join(work, json_name)
     with open(path, "w") as fh:
         json.dump(stats, fh)
-    log("refined:", stats)
-    base_path = os.path.join(work, "ncuts_baseline.json")
+    log(json_name.replace(".json", "") + ":", stats)
+    base_path = os.path.join(work, baseline_json)
     if os.path.exists(base_path):
         with open(base_path) as fh:
             base = json.load(fh)
         log("comparison (refined - ncuts):",
             {k: round(stats[k] - base[k], 4)
              for k in ("p", "r", "f1", "ap", "S_assoc") if k in base})
+    return stats
+
+
+def phase_eval(work, ckpt_name="ckpts"):
+    _refined_eval(work, ckpt_name, None, "out_refined", "refined.json",
+                  "ncuts_baseline.json")
+
+
+HOLDOUT_SEED = 1042
+
+
+def phase_holdout(work, ckpt_name="ckpts", skip_baseline=False):
+    """Generalization check (VERDICT r3 #2): evaluate the SAME trained
+    checkpoint on a second synthetic map (different seed, same generator) it
+    never saw, next to an NCuts baseline on that map. The reference's +12 AP
+    headline is a generalization claim -- the refiner segments arbitrary
+    chunks (reference predict_maskpls.py:133-158) -- so a memorized-geometry
+    win alone would misrepresent it."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    root = os.path.join(work, "kitti_holdout")
+    _gen_map(root, HOLDOUT_SEED)
+    if not skip_baseline:
+        from autoinst_tpu.pipeline.run_pipeline import run
+        cfg, factory = _base_cfg(work, "out_holdout_ncuts", root=root)
+        cfg.overlap = 3
+        results = run(cfg, dataset_factory=factory)
+        stats = results[0]["sequence"]
+        with open(os.path.join(work, "ncuts_holdout.json"), "w") as fh:
+            json.dump(stats, fh)
+        log("NCuts holdout baseline:", stats)
+    _refined_eval(work, ckpt_name, root, "out_holdout_refined",
+                  "refined_holdout.json", "ncuts_holdout.json")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("phase", choices=["gen", "export", "baseline", "train",
-                                      "eval"])
+                                      "eval", "holdout"])
+    ap.add_argument("--skip-baseline", action="store_true",
+                    help="holdout: only run the refined arm (baseline "
+                         "already computed)")
     ap.add_argument("--work", default=os.path.join(REPO, ".selftrain"))
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--dtype", default="bfloat16")
@@ -215,6 +258,12 @@ def main():
                     help="global-norm gradient clip (reference Trainer "
                          "gradient_clip_val 0.5; at batch 1 + lr 1e-4 the "
                          "0.5 clip can throttle memorization)")
+    ap.add_argument("--schedule", action="store_true",
+                    help="linear-warmup + cosine LR decay over the run "
+                         "(deviation from the reference's constant LR; "
+                         "settles late-run assignment-flip instability)")
+    ap.add_argument("--warmup", type=int, default=100,
+                    help="warmup steps for --schedule")
     ap.add_argument("--reset-opt", action="store_true",
                     help="resume params only (fresh optimizer; required "
                          "when --batch-acc changes across segments)")
@@ -237,9 +286,13 @@ def main():
                     cache_batches=args.cache_batches, aug=not args.no_aug,
                     ckpt_name=args.ckpt_name, eos_coef=args.eos_coef,
                     cpu=args.cpu, batch_acc=args.batch_acc, lr=args.lr,
-                    reset_opt=args.reset_opt, grad_clip=args.grad_clip)
+                    reset_opt=args.reset_opt, grad_clip=args.grad_clip,
+                    schedule=args.schedule, warmup=args.warmup)
     elif args.phase == "eval":
         phase_eval(args.work, ckpt_name=args.ckpt_name)
+    elif args.phase == "holdout":
+        phase_holdout(args.work, ckpt_name=args.ckpt_name,
+                      skip_baseline=args.skip_baseline)
 
 
 if __name__ == "__main__":
