@@ -511,3 +511,21 @@ class TestLevelWidthPlanning:
                     assert lvl.coords.shape[0] == lw, (
                         f"width grew {lvl.coords.shape[0]} > {lw}: second "
                         "shape set => recompile => axon crash risk")
+
+
+def test_lr_schedule_shapes():
+    """warmup+cosine schedule (deviation from the reference's constant-LR
+    AdamW, mask_model.py:107-109): constant when lr_total_steps=0, else
+    ramps to peak at warmup and decays to lr*min_frac at the horizon."""
+    from autoinst_tpu.models.maskpls.model import MaskPLSConfig, lr_schedule
+    const = lr_schedule(MaskPLSConfig(lr=3e-4))
+    assert const == 3e-4
+    cfg = MaskPLSConfig(lr=5e-4, lr_warmup=100, lr_total_steps=1000,
+                        lr_min_frac=0.01)
+    sched = lr_schedule(cfg)
+    assert float(sched(0)) <= 5e-6 * 1.01
+    assert abs(float(sched(100)) - 5e-4) < 1e-8
+    assert float(sched(1000)) <= 5e-6 * 1.01
+    # monotone decay after warmup
+    vals = [float(sched(s)) for s in (100, 300, 600, 1000)]
+    assert all(a >= b for a, b in zip(vals, vals[1:])), vals
