@@ -113,7 +113,8 @@ def baseline_chunk(points: np.ndarray, feats: np.ndarray):
 
 # -------------------------------------------------------------- tpu path
 
-STAGE_T = {"transfer_s": 0.0, "affinity_s": 0.0, "solver_s": 0.0}
+STAGE_T = {"transfer_s": 0.0, "affinity_s": 0.0, "solver_s": 0.0,
+           "overlapped_transfer_s": 0.0, "groups": 0}
 
 
 def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
@@ -124,6 +125,8 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
 
     n = chunks[0][0].shape[0]
     valid = jnp.ones((n,), bool)
+    for k in STAGE_T:
+        STAGE_T[k] = 0
 
     def build(pts, feats):
         if use_pallas:
@@ -132,7 +135,7 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
         return affinity_xla(pts, valid, tarl=feats, alpha=ALPHA,
                             theta=THETA, proximity=PROX)
 
-    # Two host->device puts for ALL chunk inputs, then per-chunk Pallas
+    # Bulk host->device puts per chunk GROUP, then per-chunk Pallas
     # dispatches on device-resident slices: the dispatches queue
     # asynchronously, and bulk transfers avoid per-chunk tunnel round
     # trips (which dominate and vary wildly on the tunneled dev chip).
@@ -142,33 +145,77 @@ def tpu_run(chunks, use_pallas: bool, method: str, iters: int = 120):
     # ~17 MB/s and the 25 MB f32 TARL upload was costing as much as the
     # entire solve; coordinates stay f32.
     from autoinst_tpu.utils.transfer import put_features
-    t0 = time.perf_counter()
-    pts_all = jnp.asarray(np.stack([p for p, _ in chunks]))
-    fts_all = put_features(np.stack([f for _, f in chunks]))
-    pts_all.block_until_ready()
-    fts_all.block_until_ready()
-    t1 = time.perf_counter()
-    Ws = jnp.stack([build(pts_all[i], fts_all[i])
-                    for i in range(len(chunks))])
-    Ws.block_until_ready()
-    t2 = time.perf_counter()
-    STAGE_T["transfer_s"] = t1 - t0
-    STAGE_T["affinity_s"] = t2 - t1
-    if os.environ.get("BENCH_SOLVER", "device") == "device" \
-            and jax.default_backend() == "tpu":
-        from autoinst_tpu.ncuts.device_solver import recursive_ncut_device
-        group = int(os.environ.get("BENCH_DEVICE_GROUP", "16"))
-        out = []
-        for lo in range(0, len(chunks), group):
-            out += recursive_ncut_device(Ws[lo:lo + group],
-                                         [n] * len(chunks[lo:lo + group]),
-                                         T=T_NCUT, iters=iters)
+
+    def build_group(g, block_compute):
+        t0 = time.perf_counter()
+        pts_all = jnp.asarray(np.stack([p for p, _ in g]))
+        fts_all = put_features(np.stack([f for _, f in g]))
+        pts_all.block_until_ready()
+        fts_all.block_until_ready()
+        t1 = time.perf_counter()
+        Ws = jnp.stack([build(pts_all[i], fts_all[i])
+                        for i in range(len(g))])
+        if block_compute:
+            # overlapped builds skip this: the device core is busy with the
+            # in-flight solve, so blocking here would bill solver time to
+            # the build; the H2D wire transfer above is the part that truly
+            # runs concurrently
+            Ws.block_until_ready()
+        t2 = time.perf_counter()
+        return Ws, t1 - t0, t2 - t1
+
+    device_path = (os.environ.get("BENCH_SOLVER", "device") == "device"
+                   and jax.default_backend() == "tpu")
+    if not device_path:
+        Ws, tr, af = build_group(chunks, True)
+        STAGE_T["transfer_s"], STAGE_T["affinity_s"] = tr, af
+        STAGE_T["groups"] = 1
+        t2 = time.perf_counter()
+        labels = recursive_ncut_batch(Ws, [n] * len(chunks), T=T_NCUT,
+                                      method=method, lobpcg_iters=iters)
         STAGE_T["solver_s"] = time.perf_counter() - t2
-        return out
-    labels = recursive_ncut_batch(Ws, [n] * len(chunks), T=T_NCUT,
-                                  method=method, lobpcg_iters=iters)
-    STAGE_T["solver_s"] = time.perf_counter() - t2
-    return labels
+        return labels
+
+    # Device worklist path, double-buffered (VERDICT r3 #5): the H2D
+    # upload of group k+1 rides the tunnel while group k's solve executes
+    # on the core (same structure as pipeline/batch_runner.py phase 2).
+    # Only group 0's transfer is exposed wall time; 'overlapped_transfer_s'
+    # records the hidden uploads. The last partial group is padded by
+    # repeating chunks so every dispatch shares ONE compiled executable.
+    from autoinst_tpu.ncuts.device_solver import (finish_ncut_device,
+                                                  recursive_ncut_device_async)
+    group = min(int(os.environ.get("BENCH_DEVICE_GROUP", "8")), len(chunks))
+    groups = []
+    for lo in range(0, len(chunks), group):
+        g = chunks[lo:lo + group]
+        real = len(g)
+        while len(g) < group:
+            g = g + g[:group - len(g)]
+        groups.append((g, real))
+    STAGE_T["groups"] = len(groups)
+
+    from autoinst_tpu.ncuts import device_solver
+    out = []
+    rounds, solves = 0, {}
+    Ws, tr, af = build_group(groups[0][0], True)
+    STAGE_T["transfer_s"], STAGE_T["affinity_s"] = tr, af
+    for gi, (g, real) in enumerate(groups):
+        ts = time.perf_counter()
+        handle = recursive_ncut_device_async(Ws, [n] * len(g), T=T_NCUT,
+                                             iters=iters)
+        if gi + 1 < len(groups):
+            Ws, tr, af = build_group(groups[gi + 1][0], False)
+            STAGE_T["overlapped_transfer_s"] += tr
+        out += finish_ncut_device(handle)[:real]
+        STAGE_T["solver_s"] += time.perf_counter() - ts
+        # finish_ncut_device overwrites STATS per dispatch; report the
+        # whole rep's counts (the perf-proxy guard reads single calls)
+        rounds += device_solver.STATS["rounds"]
+        for w, s in device_solver.STATS["solves_per_tier"].items():
+            solves[w] = solves.get(w, 0) + s
+    device_solver.STATS["rounds"] = rounds
+    device_solver.STATS["solves_per_tier"] = solves
+    return out
 
 
 def precompile_subprocess(env_overrides):
@@ -190,7 +237,10 @@ def precompile_subprocess(env_overrides):
 
 
 def main():
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "16"))
+    # 32 chunks in groups of 8: enough groups that the double-buffered
+    # pipeline reaches steady state (3 of 4 uploads hidden); chunks/s
+    # normalizes per chunk so the headline stays comparable to r1-r3
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "32"))
     n_base = int(os.environ.get("BENCH_BASELINE_CHUNKS", "2"))
     n_pts = int(os.environ.get("BENCH_N", "4096"))
     precompile_mode = os.environ.get("BENCH_PRECOMPILE") == "1"
@@ -210,7 +260,7 @@ def main():
         f"chunks={n_chunks} n={n_pts}")
 
     chunks = [synth_chunk(s, n_pts) for s in range(n_chunks)]
-    group = int(os.environ.get("BENCH_DEVICE_GROUP", str(n_chunks)))
+    group = min(int(os.environ.get("BENCH_DEVICE_GROUP", "8")), n_chunks)
 
     if precompile_mode:
         # child process: compile the exact timed shapes, then exit
