@@ -62,6 +62,23 @@ class MaskPLSConfig:
     lr_total_steps: int = 0       # cosine horizon in optimizer steps;
     # 0 = constant LR (reference parity)
     lr_min_frac: float = 0.01     # floor as a fraction of peak lr
+    # Matching stabilizers (deviations from the reference matcher; both
+    # default OFF = parity). Motivation (round-4 probes, NOTES_ROUND4.md):
+    # the trained model's own mask-feature space linearly separates EVERY
+    # target (probe IoU 0.9-1.0 incl. 105-pt masks) while queries own only
+    # the biggest ones and the class head stays at chance -- the failure is
+    # Hungarian-assignment churn, not capacity.
+    #   match_exact: compute matching costs on ALL valid points instead of
+    #     the reference's random 40% subset (matcher.py:83-86, a torch-era
+    #     memory hack). Exact costs are two [Q,P]x[P,T] GEMMs -- MXU food --
+    #     and remove the sampling noise that flips small-mask assignments
+    #     step to step.
+    #   match_joint: one assignment from the summed per-level costs applied
+    #     to every deep-supervision level (the reference re-matches per
+    #     level, loss.py:54-103); per-level churn feeds the class head
+    #     contradictory object/no-object targets each step.
+    match_exact: bool = False
+    match_joint: bool = False
     remat: bool = False          # rematerialize backbone conv blocks
     # (jax.checkpoint) to fit large point budgets in HBM
     knn_mode: str = "grid"       # voxel->point kNN-up: "grid" | "exact"
@@ -117,16 +134,24 @@ def _bce_logits(logits, targets):
         jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
 
-def _pair_costs(out_mask, tgt_mask):
-    """Mask2Former pairwise BCE + dice costs over a shared point subset.
+def _pair_costs(out_mask, tgt_mask, weight=None):
+    """Mask2Former pairwise BCE + dice costs over a shared point set.
 
-    out_mask [Q, P] logits, tgt_mask [T, P] binary. Returns ([Q,T], [Q,T]).
-    """
-    p = out_mask.shape[1]
+    out_mask [Q, P] logits, tgt_mask [T, P] binary. weight [P] (optional):
+    per-point weight (e.g. a validity mask so padded points contribute
+    exactly zero). Returns ([Q,T], [Q,T])."""
     pos = _bce_logits(out_mask, jnp.ones_like(out_mask))   # [Q, P]
     neg = _bce_logits(out_mask, jnp.zeros_like(out_mask))
-    cost_mask = (pos @ tgt_mask.T + neg @ (1 - tgt_mask).T) / p
     sig = jax.nn.sigmoid(out_mask)
+    if weight is None:
+        denom_p = out_mask.shape[1]
+    else:
+        pos = pos * weight[None, :]
+        neg = neg * weight[None, :]
+        sig = sig * weight[None, :]
+        tgt_mask = tgt_mask * weight[None, :]
+        denom_p = jnp.maximum(jnp.sum(weight), 1.0)
+    cost_mask = (pos @ tgt_mask.T + neg @ (1 - tgt_mask).T) / denom_p
     num = 2 * (sig @ tgt_mask.T)
     den = sig.sum(1, keepdims=True) + tgt_mask.sum(1)[None, :]
     cost_dice = 1 - (num + 1) / (den + 1)
@@ -144,24 +169,30 @@ def matching_costs(outputs, targets, rng, cfg: MaskPLSConfig):
     b, p, q = masks.shape
     n_sub = max(int(cfg.p_ratio * p), 1)
 
-    def one(logit_b, mask_b, cls_b, tmask_b, tvalid_b, nvalid_b, key):
+    def one(logit_b, mask_b, cls_b, tmask_b, tvalid_b, pvalid_b, key):
         prob = jax.nn.softmax(logit_b, axis=-1)
         cost_class = -prob[:, cls_b]                   # [Q, T]
-        # shared random subset of valid points (randint w/ replacement,
-        # matcher.py:83-86)
-        u = jax.random.uniform(key, (n_sub,))
-        pt_idx = jnp.floor(u * nvalid_b).astype(jnp.int32)
-        om = mask_b.T[:, pt_idx]                       # [Q, n_sub]
-        tm = tmask_b[:, pt_idx]                        # [T, n_sub]
-        cost_mask, cost_dice = _pair_costs(om, tm)
+        if cfg.match_exact:
+            # exact costs over all valid points (cfg.match_exact): two
+            # [Q,P]x[P,T] GEMMs, no sampling noise
+            cost_mask, cost_dice = _pair_costs(
+                mask_b.T, tmask_b, weight=pvalid_b.astype(mask_b.dtype))
+        else:
+            # shared random subset of valid points (randint w/ replacement,
+            # matcher.py:83-86)
+            nvalid_b = jnp.sum(pvalid_b)
+            u = jax.random.uniform(key, (n_sub,))
+            pt_idx = jnp.floor(u * nvalid_b).astype(jnp.int32)
+            om = mask_b.T[:, pt_idx]                   # [Q, n_sub]
+            tm = tmask_b[:, pt_idx]                    # [T, n_sub]
+            cost_mask, cost_dice = _pair_costs(om, tm)
         c = cfg.w_mask * cost_mask + cfg.w_ce * cost_class \
             + cfg.w_dice * cost_dice
         return jnp.where(tvalid_b[None, :], c, 1e6)
 
     keys = jax.random.split(rng, b)
-    nvalid = jnp.sum(targets["point_valid"], axis=1)
-    return jax.vmap(one)(logits, masks, tgt_cls, tgt_msk, tgt_valid, nvalid,
-                         keys)
+    return jax.vmap(one)(logits, masks, tgt_cls, tgt_msk, tgt_valid,
+                         targets["point_valid"], keys)
 
 
 def _host_lsa(costs: np.ndarray) -> np.ndarray:
@@ -423,7 +454,13 @@ def mask_loss(outputs, targets, rng, cfg: MaskPLSConfig, coords=None):
     costs = jnp.stack([
         matching_costs(lvl, targets, jax.random.fold_in(k_match, i), cfg)
         for i, lvl in enumerate(levels)])
-    assign = hungarian_match(costs)          # [L, B, T]
+    if cfg.match_joint:
+        # one assignment from the summed per-level costs, applied to every
+        # level (cfg.match_joint): consistent class-head supervision
+        joint = jnp.mean(costs, axis=0, keepdims=True)
+        assign = jnp.tile(hungarian_match(joint), (costs.shape[0], 1, 1))
+    else:
+        assign = hungarian_match(costs)      # [L, B, T]
     p_total = outputs["pred_masks"].shape[1]
     pool = sample_point_pool(k_pool, targets, cfg, p_total)
 

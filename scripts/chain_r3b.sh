@@ -43,15 +43,22 @@ else
     log "phase relabel: relabeled chunks exist, skipping"
 fi
 
-if [ ! -f .selftrain/ckpts_merged/maskpls_weights.msgpack ]; then
-    log "phase train (merged targets, 240 epochs, no-aug, 8 draws, cosine)"
+# Stabilized matching (round-4 churn diagnosis, NOTES_ROUND4.md): exact
+# Hungarian costs over all valid points + one joint assignment across
+# deep-supervision levels. The sampled/per-level reference matcher is
+# query-symmetric at these target statistics: assignments were measured
+# fully random step-to-step (scripts/probe_assignment.py), which trains
+# every query toward the mean mask and caps eval at the few biggest masks.
+if [ ! -f .selftrain/ckpts_stable/maskpls_weights.msgpack ]; then
+    log "phase train (merged targets, stable matching, cosine)"
     python scripts/selftrain_demo.py train --data .selftrain/out_merged24/train \
-        --ckpt-name ckpts_merged --no-aug --cache-batches 8 --eos-coef 0.1 \
-        --batch-acc 1 --lr 5e-4 --schedule --warmup 100 --epochs 240 >> "$L" 2>&1
+        --ckpt-name ckpts_stable --no-aug --cache-batches 8 --eos-coef 0.1 \
+        --batch-acc 1 --lr 5e-4 --schedule --warmup 100 --epochs 240 \
+        --match-exact --match-joint >> "$L" 2>&1
 else
     log "phase train: weights exist, skipping"
 fi
 
 log "phase eval"
-python scripts/selftrain_demo.py eval --ckpt-name ckpts_merged >> "$L" 2>&1
+python scripts/selftrain_demo.py eval --ckpt-name ckpts_stable >> "$L" 2>&1
 log "chain done"

@@ -139,7 +139,7 @@ def phase_baseline(work):
 def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
                 ckpt_name="ckpts", eos_coef=1.0, cpu=False, batch_acc=4,
                 lr=1e-4, reset_opt=False, grad_clip=0.5, schedule=False,
-                warmup=100):
+                warmup=100, match_exact=False, match_joint=False):
     # real TPU by default; the container pins the axon platform, so a CPU
     # run (tunnel outage hedge) must force it in-process -- the
     # JAX_PLATFORMS env var alone is overridden (CLAUDE.md)
@@ -167,7 +167,9 @@ def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
                                      eos_coef=eos_coef, batch_acc=batch_acc,
                                      lr=lr, grad_clip=grad_clip,
                                      lr_total_steps=-1 if schedule else 0,
-                                     lr_warmup=warmup))
+                                     lr_warmup=warmup,
+                                     match_exact=match_exact,
+                                     match_joint=match_joint))
 
 
 def _refined_eval(work, ckpt_name, root, out_name, json_name,
@@ -264,6 +266,14 @@ def main():
                          "settles late-run assignment-flip instability)")
     ap.add_argument("--warmup", type=int, default=100,
                     help="warmup steps for --schedule")
+    ap.add_argument("--match-exact", action="store_true",
+                    help="Hungarian costs on ALL valid points (no 40% "
+                         "subsample): removes the sampling noise that "
+                         "churns small-mask assignments")
+    ap.add_argument("--match-joint", action="store_true",
+                    help="one assignment (summed per-level costs) for all "
+                         "deep-supervision levels: consistent class-head "
+                         "supervision")
     ap.add_argument("--reset-opt", action="store_true",
                     help="resume params only (fresh optimizer; required "
                          "when --batch-acc changes across segments)")
@@ -287,7 +297,9 @@ def main():
                     ckpt_name=args.ckpt_name, eos_coef=args.eos_coef,
                     cpu=args.cpu, batch_acc=args.batch_acc, lr=args.lr,
                     reset_opt=args.reset_opt, grad_clip=args.grad_clip,
-                    schedule=args.schedule, warmup=args.warmup)
+                    schedule=args.schedule, warmup=args.warmup,
+                    match_exact=args.match_exact,
+                    match_joint=args.match_joint)
     elif args.phase == "eval":
         phase_eval(args.work, ckpt_name=args.ckpt_name)
     elif args.phase == "holdout":

@@ -141,6 +141,72 @@ class TestModel:
         assert np.mean(losses[-3:]) < np.mean(losses[:2]), losses
 
 
+class TestMatchingModes:
+    """match_exact / match_joint stabilizers (round-4 churn diagnosis)."""
+
+    def _setup(self, cfg):
+        batch, targets = tiny_batch()
+        batch = jax.tree.map(jnp.asarray, batch)
+        targets = jax.tree.map(jnp.asarray, targets)
+        model = MaskPS(cfg)
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        out, _, _ = model.apply(variables, batch, train=False)
+        return out, targets
+
+    def test_exact_costs_match_numpy_oracle(self):
+        from autoinst_tpu.models.maskpls.model import matching_costs
+        cfg = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32,
+                            match_exact=True)
+        out, targets = self._setup(cfg)
+        costs = np.asarray(matching_costs(out, targets,
+                                          jax.random.PRNGKey(3), cfg))[0]
+        # numpy oracle on the valid slice only
+        pv = np.asarray(targets["point_valid"][0]).astype(bool)
+        logits = np.asarray(out["pred_logits"][0])
+        masks = np.asarray(out["pred_masks"][0])[pv]        # [Pv, Q]
+        tmask = np.asarray(targets["masks"][0])[:, pv]      # [T, Pv]
+        tvalid = np.asarray(targets["valid"][0])
+        prob = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        m = masks.T                                          # [Q, Pv]
+        pos = np.logaddexp(0, -m)
+        neg = np.logaddexp(0, m)
+        cmask = (pos @ tmask.T + neg @ (1 - tmask).T) / pv.sum()
+        sig = 1 / (1 + np.exp(-m))
+        num = 2 * (sig @ tmask.T)
+        den = sig.sum(1, keepdims=True) + tmask.sum(1)[None]
+        cdice = 1 - (num + 1) / (den + 1)
+        cls = np.asarray(targets["classes"][0])
+        ccls = -prob[:, cls]
+        oracle = cfg.w_mask * cmask + cfg.w_ce * ccls + cfg.w_dice * cdice
+        oracle = np.where(tvalid[None, :], oracle, 1e6)
+        np.testing.assert_allclose(costs, oracle, rtol=1e-4, atol=1e-4)
+
+    def test_exact_costs_deterministic(self):
+        from autoinst_tpu.models.maskpls.model import matching_costs
+        cfg = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32,
+                            match_exact=True)
+        out, targets = self._setup(cfg)
+        c1 = matching_costs(out, targets, jax.random.PRNGKey(1), cfg)
+        c2 = matching_costs(out, targets, jax.random.PRNGKey(2), cfg)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    def test_joint_matching_trains(self):
+        batch, targets = tiny_batch()
+        batch = jax.tree.map(jnp.asarray, batch)
+        targets = jax.tree.map(jnp.asarray, targets)
+        cfg = MaskPLSConfig(num_queries=8, num_points=256, n_mask_pts=32,
+                            lr=1e-3, batch_acc=1, match_exact=True,
+                            match_joint=True)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, batch)
+        losses = []
+        for step in range(6):
+            state, total, _ = train_step(
+                state, batch, targets, jax.random.PRNGKey(step), cfg)
+            losses.append(float(total))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+
+
 class TestPanoptic:
     def test_recovers_clear_instances(self):
         # construct logits/masks where queries 0,1 are confident objects
