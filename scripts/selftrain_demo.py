@@ -62,8 +62,8 @@ def _gen_map(root, seed):
     log("map written to", root)
 
 
-def phase_gen(work):
-    _gen_map(os.path.join(work, "kitti"), SEED)
+def phase_gen(work, seed=SEED):
+    _gen_map(os.path.join(work, "kitti"), seed)
 
 
 def _factory(root):
@@ -247,6 +247,10 @@ def main():
                     help="holdout: only run the refined arm (baseline "
                          "already computed)")
     ap.add_argument("--work", default=os.path.join(REPO, ".selftrain"))
+    ap.add_argument("--seed", type=int, default=SEED,
+                    help="gen: synthetic-map seed (extra training maps "
+                         "for generalization use fresh seeds; 42 is the "
+                         "demo map, 1042 the holdout)")
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--cache-batches", type=int, default=12)
@@ -285,7 +289,7 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.work, exist_ok=True)
     if args.phase == "gen":
-        phase_gen(args.work)
+        phase_gen(args.work, seed=args.seed)
     elif args.phase == "export":
         phase_export(args.work, overlap=args.overlap, device=args.device,
                      out_name=args.out)
