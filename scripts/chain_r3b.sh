@@ -49,11 +49,12 @@ fi
 # query-symmetric at these target statistics: assignments were measured
 # fully random step-to-step (scripts/probe_assignment.py), which trains
 # every query toward the mean mask and caps eval at the few biggest masks.
+EPOCHS=${EPOCHS:-240}   # cosine horizon auto-scales to the run (lr_total_steps=-1)
 if [ ! -f .selftrain/ckpts_stable/maskpls_weights.msgpack ]; then
-    log "phase train (merged targets, stable matching, cosine)"
+    log "phase train (merged targets, stable matching, cosine, $EPOCHS epochs)"
     python scripts/selftrain_demo.py train --data .selftrain/out_merged24/train \
         --ckpt-name ckpts_stable --no-aug --cache-batches 8 --eos-coef 0.1 \
-        --batch-acc 1 --lr 5e-4 --schedule --warmup 100 --epochs 240 \
+        --batch-acc 1 --lr 5e-4 --schedule --warmup 100 --epochs "$EPOCHS" \
         --match-exact --match-joint >> "$L" 2>&1
 else
     log "phase train: weights exist, skipping"
