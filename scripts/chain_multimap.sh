@@ -54,5 +54,5 @@ log "phase eval (flagship map)"
 python scripts/selftrain_demo.py eval --ckpt-name ckpts_multi >> "$L" 2>&1
 log "phase holdout (unseen map 1042, refined arm only)"
 python scripts/selftrain_demo.py holdout --ckpt-name ckpts_multi \
-    --refined-only >> "$L" 2>&1
+    --skip-baseline >> "$L" 2>&1
 log "chain done"
