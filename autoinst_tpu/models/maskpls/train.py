@@ -66,7 +66,8 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
           ckpt_every: int = 1, seed: int = 0, subsample: int = 80000,
           min_points: int = 100, limit_steps: int | None = None,
           dataset_kind: str = "pseudo", cache_batches: int = 0,
-          aug: bool = True, reset_opt: bool = False):
+          aug: bool = True, reset_opt: bool = False,
+          total_horizon: bool = False):
     """dataset_kind: 'pseudo' = NCuts pseudo-label chunks (class-agnostic
     self-training), 'semantic' = GT SemanticKITTI scans (supervised; items
     carry sem_labels so cfg.sem_loss can supervise the backbone head).
@@ -75,7 +76,15 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
     subsample per epoch); K>0 = precompute K subsample draws per chunk and
     cycle them across epochs. The host-side VoxelPlan build is O(seconds)
     per 30k-point chunk on a small host -- without the cache it, not the
-    TPU step, bounds throughput."""
+    TPU step, bounds throughput.
+
+    total_horizon: when True, `epochs` is the run's TOTAL horizon rather
+    than epochs-to-run: a resumed checkpoint skips the epochs its step
+    count already covers, so an interrupted run re-launched with the SAME
+    arguments continues to the same cosine-schedule endpoint instead of
+    extending it. This is what makes the selftrain chain resumable across
+    host wipes (the reference trainer gets this from Lightning's
+    epoch-counted ckpt_path resume, train_model.py:69-77)."""
     if dataset_kind == "semantic":
         from autoinst_tpu.models.maskpls.semantic_dataset import \
             SemanticKittiScanDataset
@@ -159,7 +168,15 @@ def train(data_path: str, epochs: int = 10, ckpt_dir: str = "checkpoints",
 
     rng = jax.random.PRNGKey(seed + 1)
     step = int(state.step)
-    for epoch in range(epochs):
+    start_epoch = 0
+    if total_horizon and step > 0:
+        # one optimizer-counted step per chunk per epoch (batch_acc lives
+        # inside optax.MultiSteps, which still increments state.step per
+        # microbatch), so step//len(dataset) = completed epochs
+        start_epoch = min(step // max(len(dataset), 1), epochs)
+        print(f"total-horizon resume: step {step} -> starting at epoch "
+              f"{start_epoch}/{epochs}")
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
         part_sums = {}

@@ -156,11 +156,19 @@ def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
     last = os.path.join(ckpt, "maskpls_last.ckpt")
     if os.path.exists(last):
         resume = last
+    else:
+        # wipe/interrupt recovery: fall back to the newest periodic
+        # checkpoint; total_horizon=True below makes the rerun continue to
+        # the ORIGINAL epoch horizon (same cosine endpoint), not extend it
+        import glob
+        eps = sorted(glob.glob(os.path.join(ckpt, "maskpls_epoch*.ckpt")))
+        if eps:
+            resume = eps[-1]
     # aug on + 12 cached draw/aug variants per chunk: the first (no-aug,
     # 2-draw) run memorized its 24 fixed batches -- train loss 15.8 but
     # ~50 on any fresh draw and mask dice ~0.8 at inference
     train(data, epochs=epochs, ckpt_dir=ckpt, resume=resume,
-          reset_opt=reset_opt,
+          reset_opt=reset_opt, total_horizon=True,
           v0=32768, n_points=30720, t_max=40, ckpt_every=25,
           min_points=100, subsample=30000, cache_batches=cache_batches,
           aug=aug, cfg=MaskPLSConfig(compute_dtype=dtype, num_queries=40,
