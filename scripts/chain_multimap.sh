@@ -38,14 +38,20 @@ if [ "$i" -lt 2 ]; then
 fi
 
 # same validated recipe as ckpts_stable (stabilized matching + cosine);
-# EPOCHS scales the step horizon to the larger set if not given
+# EPOCHS scales the step horizon to the larger set if not given. When the
+# flagship single-map checkpoint exists, warm-start from it (params only,
+# fresh optimizer) -- fine-tuning to the multi-map set needs a fraction of
+# the from-scratch horizon.
 EPOCHS=${EPOCHS:-120}
+INIT=${INIT_FROM:-.selftrain/ckpts_stable/maskpls_last.ckpt}
+extra=""
+[ -f "$INIT" ] && extra="--init-from $INIT" && log "warm start: $INIT"
 if [ ! -f .selftrain/ckpts_multi/maskpls_weights.msgpack ]; then
     log "phase train (multi-map, stable matching, cosine, $EPOCHS epochs)"
     python scripts/selftrain_demo.py train --data "$MULTI" \
         --ckpt-name ckpts_multi --no-aug --cache-batches 8 --eos-coef 0.1 \
         --batch-acc 1 --lr 5e-4 --schedule --warmup 100 --epochs "$EPOCHS" \
-        --match-exact --match-joint >> "$L" 2>&1
+        --match-exact --match-joint $extra >> "$L" 2>&1
 else
     log "phase train: weights exist, skipping"
 fi

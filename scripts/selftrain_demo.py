@@ -139,7 +139,8 @@ def phase_baseline(work):
 def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
                 ckpt_name="ckpts", eos_coef=1.0, cpu=False, batch_acc=4,
                 lr=1e-4, reset_opt=False, grad_clip=0.5, schedule=False,
-                warmup=100, match_exact=False, match_joint=False):
+                warmup=100, match_exact=False, match_joint=False,
+                init_from=""):
     # real TPU by default; the container pins the axon platform, so a CPU
     # run (tunnel outage hedge) must force it in-process -- the
     # JAX_PLATFORMS env var alone is overridden (CLAUDE.md)
@@ -164,6 +165,11 @@ def phase_train(work, epochs, dtype, data="", cache_batches=12, aug=True,
         eps = sorted(glob.glob(os.path.join(ckpt, "maskpls_epoch*.ckpt")))
         if eps:
             resume = eps[-1]
+        elif init_from and os.path.exists(init_from):
+            # warm start from ANOTHER run's checkpoint (params only: the
+            # new run gets its own optimizer + schedule) -- multimap
+            # fine-tuning from the flagship single-map checkpoint
+            resume, reset_opt = init_from, True
     # aug on + 12 cached draw/aug variants per chunk: the first (no-aug,
     # 2-draw) run memorized its 24 fixed batches -- train loss 15.8 but
     # ~50 on any fresh draw and mask dice ~0.8 at inference
@@ -290,6 +296,10 @@ def main():
                     help="resume params only (fresh optimizer; required "
                          "when --batch-acc changes across segments)")
     ap.add_argument("--ckpt-name", default="ckpts")
+    ap.add_argument("--init-from", default="",
+                    help="train: warm-start params from another run's "
+                         "checkpoint when this run has none yet "
+                         "(multimap fine-tune from the flagship ckpt)")
     ap.add_argument("--cpu", action="store_true",
                     help="train: force the CPU backend (tunnel-outage "
                          "hedge; checkpoints stay TPU-resumable)")
@@ -311,7 +321,8 @@ def main():
                     reset_opt=args.reset_opt, grad_clip=args.grad_clip,
                     schedule=args.schedule, warmup=args.warmup,
                     match_exact=args.match_exact,
-                    match_joint=args.match_joint)
+                    match_joint=args.match_joint,
+                    init_from=args.init_from)
     elif args.phase == "eval":
         phase_eval(args.work, ckpt_name=args.ckpt_name)
     elif args.phase == "holdout":

@@ -59,3 +59,29 @@ def test_train_checkpoint_resume_evaluate(chunk_dir, tmp_path):
     assert preds and preds[0].endswith(".label")
     raw = np.fromfile(tmp_path / "preds" / preds[0], np.uint32)
     assert len(raw) > 0
+
+
+@pytest.mark.slow
+def test_total_horizon_resume_skips_done_epochs(chunk_dir, tmp_path):
+    """Wipe-recovery contract: rerunning train() with the SAME total
+    horizon from a mid-run checkpoint continues to the original endpoint
+    (here: 2 chunks x 3 epochs = 6 steps) instead of extending it."""
+    cfg = MaskPLSConfig(num_queries=8, num_points=128, n_mask_pts=16,
+                        batch_acc=1, lr=1e-3)
+    ckpt_dir = str(tmp_path / "ckpts")
+    # interrupted run: 2 of 3 epochs done (epoch ckpts every epoch)
+    train(chunk_dir, epochs=2, ckpt_dir=ckpt_dir, cfg=cfg,
+          v0=1024, n_points=640, t_max=8, min_points=50, total_horizon=True)
+    ep1 = os.path.join(ckpt_dir, "maskpls_epoch001.ckpt")
+    assert os.path.exists(ep1)
+    # relaunch with the full 3-epoch horizon from the epoch-1 checkpoint
+    state = train(chunk_dir, epochs=3, ckpt_dir=ckpt_dir, cfg=cfg,
+                  v0=1024, n_points=640, t_max=8, min_points=50,
+                  resume=ep1, total_horizon=True)
+    assert int(state.step) == 6  # 4 resumed + one more epoch, not 4 + 6
+    # a second rerun from the finished state is a no-op horizon-wise
+    state2 = train(chunk_dir, epochs=3, ckpt_dir=ckpt_dir, cfg=cfg,
+                   v0=1024, n_points=640, t_max=8, min_points=50,
+                   resume=os.path.join(ckpt_dir, "maskpls_last.ckpt"),
+                   total_horizon=True)
+    assert int(state2.step) == 6
