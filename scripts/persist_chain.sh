@@ -60,6 +60,8 @@ while true; do
     fi
     if grep -q "chain done" "$L" 2>/dev/null; then
         commit_if_changed "Chain snapshot: chain.log (done)" "$L"
+        # land refined.json into results/ iff the quality gates pass
+        python scripts/land_refined.py || true
         exit 0
     fi
     sleep 60
