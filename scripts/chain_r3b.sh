@@ -19,7 +19,11 @@ else
     log "phase gen: map exists, skipping"
 fi
 
-if ! ls .selftrain/out_export24/train/0/*.npz >/dev/null 2>&1; then
+HAVE_MERGED=0
+ls .selftrain/out_merged24/train/0/*.npz >/dev/null 2>&1 && HAVE_MERGED=1
+if [ "$HAVE_MERGED" = 1 ]; then
+    log "phase export/pseudoracle/relabel: merged chunks restored, skipping all three"
+elif ! ls .selftrain/out_export24/train/0/*.npz >/dev/null 2>&1; then
     log "phase export (device, overlap 24)"
     python scripts/selftrain_demo.py export --device --overlap 24 \
         --out out_export24 >> "$L" 2>&1
@@ -27,14 +31,18 @@ else
     log "phase export: chunks exist, skipping"
 fi
 
-if [ ! -f .selftrain/out_refined_pseudoracle/0/maskpls_tarl_spatial_0_0.pcd ]; then
+if [ "$HAVE_MERGED" = 1 ]; then
+    :
+elif [ ! -f .selftrain/out_refined_pseudoracle/0/maskpls_tarl_spatial_0_0.pcd ]; then
     log "phase pseudoracle (merged map)"
     python scripts/eval_oracle.py --source pseudo --tag pseudoracle >> "$L" 2>&1
 else
     log "phase pseudoracle: merged map exists, skipping"
 fi
 
-if ! ls .selftrain/out_merged24/train/0/*.npz >/dev/null 2>&1; then
+if [ "$HAVE_MERGED" = 1 ]; then
+    :
+elif ! ls .selftrain/out_merged24/train/0/*.npz >/dev/null 2>&1; then
     log "phase relabel"
     python scripts/relabel_from_merged.py \
         --merged .selftrain/out_refined_pseudoracle/0/maskpls_tarl_spatial_0_0.pcd \

@@ -30,14 +30,11 @@ commit_if_changed() {  # commit_if_changed <message> <path...>
 phase_started() { grep -q "phase $1" "$L" 2>/dev/null; }
 
 while true; do
-    if phase_started pseudoracle || phase_started relabel; then
-        commit_if_changed "Chain snapshot: export24 chunks" \
-            .selftrain/out_export24
-    fi
-    if phase_started relabel || phase_started train; then
-        commit_if_changed "Chain snapshot: pseudoracle merged map" \
-            .selftrain/out_refined_pseudoracle
-    fi
+    # NOT persisted: out_export24 (143M) and out_refined_pseudoracle
+    # (119M) -- both are consumed once out_merged24 exists, and the chain
+    # skips their phases when the merged chunks are restored. Rebuild cost
+    # if BOTH the working set and merged24 were lost: ~35 min (one device
+    # export compile), vs. ~300M of permanent git history.
     if phase_started train; then
         commit_if_changed "Chain snapshot: merged-relabel training chunks" \
             .selftrain/out_merged24
